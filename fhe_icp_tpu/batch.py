@@ -1,0 +1,250 @@
+"""BatchProcessor: embed -> reduce -> quantize -> encrypt -> store, plus
+encrypted compare and search.
+
+Re-implements /root/reference/batch_operations.py:26-295 with the
+simulation removed: `encrypt_documents` stores real RLWE ciphertexts
+(the reference stores plaintext under the name `encrypted_embedding` —
+batch_operations.py:176-178), `compare_encrypted` runs a genuine
+ciphertext x ciphertext inner product (tensor product + relinearization)
+and `search_similar` is one batched ciphertext-matvec over the whole
+store instead of a per-document Python loop (batch_operations.py:268-279).
+
+Each document is stored as TWO ciphertexts: the ascending ("fwd") and
+reversed ("rev") coefficient encodings of its quantized embedding, so
+any pair of documents can be compared fully under encryption (the inner
+product of doc A's fwd encoding with doc B's rev encoding lands in one
+coefficient of their product polynomial).
+"""
+
+from __future__ import annotations
+
+import gc
+import hashlib
+import logging
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .keymgr import FHEKeyManager
+from .models.embedder import make_embedder
+from .models.reduction import DimensionReducer
+from .models.similarity import FHESimilarityModel
+from .ops.cipher import Ciphertext
+from .store import EncryptedDocument, EncryptedDocumentStore
+from .utils.quantize import DEFAULT_SCALE, dequantize_score, \
+    prepare_embedding_for_fhe
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class BatchConfig:
+    """Reference parity: batch_operations.py:26-40."""
+
+    batch_size: int = 10
+    max_memory_mb: int = 4000
+    checkpoint_interval: int = 50
+    show_progress: bool = True
+    force_gc: bool = True
+
+    def __post_init__(self):
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        if self.max_memory_mb < 100:
+            raise ValueError("max_memory_mb must be >= 100")
+
+
+class BatchProcessor:
+    def __init__(self, config: Optional[BatchConfig] = None,
+                 storage_dir: str = "./encrypted_docs",
+                 key_dir: str = "~/.fhe_keys",
+                 preset: str = "pairwise-4096",
+                 target_dim: int = 128,
+                 reducer: Optional[DimensionReducer] = None,
+                 embedder=None,
+                 validate_model: bool = True):
+        self.config = config or BatchConfig()
+        self.embedder = embedder or make_embedder()
+        self.key_manager = FHEKeyManager(key_dir, preset=preset)
+        self.storage = EncryptedDocumentStore(storage_dir)
+        self.target_dim = target_dim
+        self.scale = DEFAULT_SCALE
+        self.reducer = reducer
+
+        # Load (or lazily create) keys + runtime.
+        if self.key_manager.get_current_key() is None:
+            self.key_manager.generate_keys()
+        self.runtime = self.key_manager.load_keyset()
+        self.key_id = self.key_manager.get_current_key()
+
+        # Similarity model (reference _init_model, batch_operations.py:78-108).
+        self.fhe_model = FHESimilarityModel(input_dim=target_dim,
+                                            preset=preset)
+        self.fhe_model.train()
+        self.fhe_model.compile(runtime=self.runtime)
+        if validate_model:
+            self._self_validate()
+
+        try:
+            import psutil
+            self._proc = psutil.Process()
+            self.initial_memory_mb = self._proc.memory_info().rss / 1e6
+        except Exception:
+            self._proc = None
+            self.initial_memory_mb = 0.0
+
+    def _self_validate(self) -> None:
+        """Identical embeddings must score ~1.0 under real encryption
+        (reference batch_operations.py:96-103, tolerance ±0.2)."""
+        rng = np.random.default_rng(0)
+        e = rng.standard_normal(self.target_dim)
+        q, _ = prepare_embedding_for_fhe(e, self.scale)
+        ct_fwd = self.runtime.encrypt_vector(q, seed=101)
+        ct_rev = self.runtime.encrypt_vector(q, seed=102, rev=True)
+        raw = int(self.runtime.decrypt_dot(
+            self.runtime.dot_ct_ct(ct_fwd, ct_rev), self.target_dim))
+        sim = dequantize_score(raw, self.scale)
+        if abs(sim - 1.0) > 0.2:
+            logger.warning("model self-validation: identical-pair "
+                           "similarity %.4f outside 1.0±0.2", sim)
+        else:
+            logger.info("self-validation OK: identical-pair sim=%.4f", sim)
+
+    # -- memory management (reference batch_operations.py:110-118) ---------
+    def _memory_mb(self) -> float:
+        return self._proc.memory_info().rss / 1e6 if self._proc else 0.0
+
+    def _check_memory(self) -> None:
+        used = self._memory_mb()
+        if used > self.config.max_memory_mb:
+            logger.warning("memory %.0f MB over limit %d MB; forcing gc",
+                           used, self.config.max_memory_mb)
+            gc.collect()
+
+    # -- ingestion ---------------------------------------------------------
+    def _ensure_reducer(self, embs: np.ndarray) -> DimensionReducer:
+        if self.reducer is None:
+            # Fit a deterministic random-projection reducer on first use;
+            # seeded, data-independent, so every process derives the SAME
+            # projection (PCA requires a corpus — DimensionReducer.fit
+            # offline + pass via constructor).
+            self.reducer = DimensionReducer(self.target_dim, method="random")
+            self.reducer.fit(embs)
+        return self.reducer
+
+    def _embed_reduce(self, texts: List[str]) -> np.ndarray:
+        embs = self.embedder.get_embeddings_batch(
+            texts, batch_size=min(8, len(texts)))
+        return self._ensure_reducer(embs).transform(embs)
+
+    def encrypt_documents(self, texts: List[str],
+                          doc_ids: Optional[List[str]] = None,
+                          metadata: Optional[List[Dict]] = None) -> List[str]:
+        if doc_ids is None:
+            doc_ids = [f"doc_{hashlib.sha256(t.encode()).hexdigest()[:12]}"
+                       for t in texts]
+        if metadata is None:
+            metadata = [{} for _ in texts]
+        assert len(doc_ids) == len(texts) == len(metadata)
+
+        iterator = range(0, len(texts), self.config.batch_size)
+        if self.config.show_progress:
+            try:
+                from tqdm import tqdm
+                iterator = tqdm(list(iterator), desc="encrypt")
+            except ImportError:
+                pass
+
+        done: List[str] = []
+        for start in iterator:
+            self._check_memory()
+            batch = texts[start: start + self.config.batch_size]
+            ids = doc_ids[start: start + self.config.batch_size]
+            metas = metadata[start: start + self.config.batch_size]
+            reduced = self._embed_reduce(batch)
+            quantized = np.stack([
+                prepare_embedding_for_fhe(r, self.scale)[0] for r in reduced])
+            seed = int.from_bytes(
+                hashlib.sha256(("|".join(ids)).encode()).digest()[:4], "little")
+            ct_fwd = self.runtime.encrypt_vector(quantized, seed=seed)
+            ct_rev = self.runtime.encrypt_vector(quantized, seed=seed + 1,
+                                                 rev=True)
+            fwd_np = np.asarray(ct_fwd.data)
+            rev_np = np.asarray(ct_rev.data)
+            now = time.time()
+            for i, (doc_id, text, meta) in enumerate(zip(ids, batch, metas)):
+                # fwd + rev stacked along poly axis: (4, L, N).
+                data = np.concatenate([fwd_np[i], rev_np[i]], axis=0)
+                doc = EncryptedDocument(
+                    doc_id=doc_id,
+                    content_hash=hashlib.sha256(text.encode()).hexdigest(),
+                    timestamp=now,
+                    ct_data=data,
+                    ct_level=ct_fwd.level,
+                    dim=self.target_dim,
+                    scale=self.scale,
+                    key_id=self.key_id or "",
+                    metadata=meta,
+                )
+                self.storage.save(doc)
+                done.append(doc_id)
+            if (self.config.force_gc
+                    and len(done) % self.config.checkpoint_interval == 0):
+                gc.collect()
+        logger.info("encrypted %d documents", len(done))
+        return done
+
+    # -- encrypted compare (REAL ct x ct, unlike the reference) ------------
+    def _split_ct(self, doc: EncryptedDocument) -> Tuple[Ciphertext, Ciphertext]:
+        import jax.numpy as jnp
+        data = jnp.asarray(doc.ct_data)
+        fwd = Ciphertext(data[:2], doc.ct_level, True)
+        rev = Ciphertext(data[2:], doc.ct_level, True)
+        return fwd, rev
+
+    def compare_encrypted(self, doc_id1: str, doc_id2: str) -> float:
+        d1 = self.storage.load(doc_id1)
+        d2 = self.storage.load(doc_id2)
+        assert d1.dim == d2.dim
+        fwd1, _ = self._split_ct(d1)
+        _, rev2 = self._split_ct(d2)
+        score_ct = self.runtime.dot_ct_ct(fwd1, rev2)
+        raw = int(self.runtime.decrypt_dot(score_ct, d1.dim))
+        return dequantize_score(raw, d1.scale)
+
+    # -- encrypted search: one batched ciphertext-matvec -------------------
+    def search_similar(self, query_text: str, top_k: int = 5,
+                       min_similarity: float = 0.5
+                       ) -> List[Tuple[str, float]]:
+        import jax.numpy as jnp
+        doc_ids = self.storage.list_documents()
+        if not doc_ids:
+            return []
+        q_emb = self.embedder.get_embedding(query_text)
+        q_red = self._ensure_reducer(q_emb[None]).transform(q_emb)[0]
+        q_int, _ = prepare_embedding_for_fhe(q_red, self.scale)
+
+        docs = [self.storage.load(d) for d in doc_ids]
+        dim = docs[0].dim
+        batch = np.stack([d.ct_data[:2] for d in docs])      # (B, 2, L, N)
+        cts = Ciphertext(jnp.asarray(batch), docs[0].ct_level, True)
+        scores_ct = self.runtime.matvec(cts, q_int)
+        raw = np.asarray(self.runtime.decrypt_dot(scores_ct, dim),
+                         dtype=np.int64)
+        sims = raw / float(self.scale * self.scale)
+        order = np.argsort(-sims)
+        out = [(doc_ids[i], float(sims[i])) for i in order
+               if sims[i] >= min_similarity][:top_k]
+        return out
+
+    # -- stats (reference batch_operations.py:286-295) ---------------------
+    def get_memory_stats(self) -> Dict:
+        current = self._memory_mb()
+        return {
+            "initial_mb": self.initial_memory_mb,
+            "current_mb": current,
+            "used_mb": current - self.initial_memory_mb,
+            "limit_mb": self.config.max_memory_mb,
+        }

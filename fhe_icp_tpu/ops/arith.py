@@ -1,0 +1,165 @@
+"""Homomorphic operations: add/sub/neg, ct*pt, ct*ct, relinearize, modswitch.
+
+All ops are pointwise in the NTT domain except relinearization digit
+extraction and modulus switching, which round-trip through coefficients.
+Everything broadcasts over leading batch dimensions.
+
+This is the op set the reference gets opaquely from Concrete's circuit
+runtime (the weighted-sum circuit built by `LinearRegression.compile()` —
+/root/reference/fhe_similarity.py:108-140); here each op is an explicit
+TPU primitive.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .cipher import Ciphertext, centered_residues
+from .context import CryptoContext
+from .modmath import (add_mod, barrett_reduce, mont_mul, neg_mod, sub_mod,
+                      to_mont)
+from .ntt import ntt_fwd, ntt_inv
+
+
+def _check(a: Ciphertext, b: Ciphertext):
+    assert a.level == b.level, "level mismatch"
+    assert a.is_ntt and b.is_ntt, "ops require NTT-domain ciphertexts"
+    assert a.pt_corr == b.pt_corr, "plaintext-scale (pt_corr) mismatch"
+
+
+def add(ctx: CryptoContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check(a, b)
+    return Ciphertext(add_mod(a.data, b.data, ctx.lp(a.level)), a.level, True,
+                      a.pt_corr)
+
+
+def sub(ctx: CryptoContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check(a, b)
+    return Ciphertext(sub_mod(a.data, b.data, ctx.lp(a.level)), a.level, True,
+                      a.pt_corr)
+
+
+def neg(ctx: CryptoContext, a: Ciphertext) -> Ciphertext:
+    return Ciphertext(neg_mod(a.data, ctx.lp(a.level)), a.level, True,
+                      a.pt_corr)
+
+
+# ---------------------------------------------------------------------------
+# Plaintext operands
+# ---------------------------------------------------------------------------
+
+
+def plain_to_eval(ctx: CryptoContext, pt, l: int):
+    """int32 poly (..., N), |pt| < t/2, -> NTT-domain Montgomery operand.
+
+    The result multiplies pointwise against NTT-domain ciphertext polys.
+    """
+    res = centered_residues(ctx, pt, l)
+    return to_mont(ntt_fwd(ctx.plan, res), ctx.lp(l), ctx.lpinv(l), ctx.lr2(l))
+
+
+def mul_plain(ctx: CryptoContext, a: Ciphertext, pt_eval) -> Ciphertext:
+    """ct * pt with pt already in eval (NTT+Montgomery) form."""
+    l = a.level
+    out = mont_mul(a.data, pt_eval[..., None, :, :], ctx.lp(l), ctx.lpinv(l))
+    return Ciphertext(out, l, True, a.pt_corr)
+
+
+def add_plain(ctx: CryptoContext, a: Ciphertext, pt) -> Ciphertext:
+    """ct + pt for an int32 plaintext poly (added to c0 only)."""
+    assert a.pt_corr == 1, "add_plain on a scaled ciphertext would misalign"
+    l = a.level
+    pt_ntt = ntt_fwd(ctx.plan, centered_residues(ctx, pt, l))
+    c0 = add_mod(a.data[..., 0, :, :], pt_ntt, ctx.lp(l))
+    return Ciphertext(a.data.at[..., 0, :, :].set(c0), l, True)
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext multiplication + relinearization
+# ---------------------------------------------------------------------------
+
+
+def mul_ct(ctx: CryptoContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Tensor product: (a0,a1)*(b0,b1) -> degree-2 ciphertext (3 polys)."""
+    _check(a, b)
+    assert a.k == 2 and b.k == 2
+    l = a.level
+    p, pinv = ctx.lp(l), ctx.lpinv(l)
+    bm = to_mont(b.data, p, pinv, ctx.lr2(l))
+    a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+    b0, b1 = bm[..., 0, :, :], bm[..., 1, :, :]
+    c0 = mont_mul(a0, b0, p, pinv)
+    c1 = add_mod(mont_mul(a0, b1, p, pinv), mont_mul(a1, b0, p, pinv), p)
+    c2 = mont_mul(a1, b1, p, pinv)
+    return Ciphertext(jnp.stack([c0, c1, c2], axis=-3), l, True,
+                      a.pt_corr * b.pt_corr % ctx.t)
+
+
+def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
+    """Degree-2 -> degree-1 via the CRT-idempotent gadget.
+
+    c2 = sum_j [c2]_{p_j} * E_j; each digit d_j (one coefficient-domain
+    limb, broadcast/reduced to all limbs) multiplies the key ciphertext
+    encrypting E_j * s^2.
+    """
+    assert ct.k == 3 and ct.is_ntt
+    l = ct.level
+    rk = rlk_keys[l]                       # (l, 2, l, N), Montgomery form
+    p, pinv, mu = ctx.lp(l), ctx.lpinv(l), ctx.mu_p[:l]
+    c2_coeff = ntt_inv(ctx.plan, ct.data[..., 2, :, :])
+    acc0 = ct.data[..., 0, :, :]
+    acc1 = ct.data[..., 1, :, :]
+    for j in range(l):
+        d_j = c2_coeff[..., j, :][..., None, :]       # (..., 1, N) u32 < p_j
+        d_res = barrett_reduce(d_j, p, mu)            # (..., l, N)
+        d_ntt = ntt_fwd(ctx.plan, d_res)
+        acc0 = add_mod(acc0, mont_mul(d_ntt, rk[j, 0], p, pinv), p)
+        acc1 = add_mod(acc1, mont_mul(d_ntt, rk[j, 1], p, pinv), p)
+    return Ciphertext(jnp.stack([acc0, acc1], axis=-3), l, True, ct.pt_corr)
+
+
+# ---------------------------------------------------------------------------
+# Modulus switching (noise management / ciphertext compression)
+# ---------------------------------------------------------------------------
+
+
+def mod_switch(ctx: CryptoContext, ct: Ciphertext) -> Ciphertext:
+    """Drop the last active limb: ct mod q -> ct mod q/p_d.
+
+    c' = (c - delta) / p_d with delta ≡ c (mod p_d), delta ≡ 0 (mod t),
+    delta centered-small.  Noise shrinks by ~p_d; the message picks up a
+    factor [p_d^{-1}]_t which `rns_decode_centered` undoes via the
+    per-level correction table.
+    """
+    l = ct.level
+    assert l >= 2 and ct.k == 2 and ct.is_ntt
+    # Static headroom check: the rounding term delta/p_d has coefficients
+    # up to ~t*N/2 (ternary secret), plus the message's t/2 — the remaining
+    # modulus must dominate both or decryption fails.  With 31-bit limbs
+    # and t ~ 2^30 this forbids switching below level 2.
+    if ctx.q_at(l - 1) < 4 * ctx.t * ctx.n:
+        raise ValueError(
+            f"mod_switch to level {l - 1} leaves insufficient noise headroom "
+            f"(q'={ctx.q_at(l - 1).bit_length()} bits vs t={ctx.t.bit_length()} "
+            f"bits, N={ctx.n})")
+    lt = ctx.levels[l]
+    x = ntt_inv(ctx.plan, ct.data)                    # (..., k, l, N)
+    pd = ctx.p[l - 1, 0]
+    pd_inv = ctx.p_neg_inv[l - 1, 0]
+    c_last = x[..., l - 1, :]
+    u = mont_mul(c_last, lt.t_inv_mont_pd[0, 0], pd, pd_inv)   # [c*t^{-1}]_{p_d}
+    rest = x[..., : l - 1, :]
+    p, pinv = ctx.lp(l - 1), ctx.lpinv(l - 1)
+    w = barrett_reduce(u[..., None, :], p, ctx.mu_p[: l - 1])
+    w = jnp.where(u[..., None, :] > lt.pd_half[0, 0],
+                  sub_mod(w, lt.pd_mod_pi, p), w)
+    delta = mont_mul(w, ctx.t_mont_p[: l - 1], p, pinv)
+    out = mont_mul(sub_mod(rest, delta, p), lt.inv_pd_mont, p, pinv)
+    return Ciphertext(ntt_fwd(ctx.plan, out), l - 1, True,
+                      ct.pt_corr * ctx.primes[l - 1] % ctx.t)
+
+
+def mod_switch_to(ctx: CryptoContext, ct: Ciphertext, level: int) -> Ciphertext:
+    while ct.level > level:
+        ct = mod_switch(ctx, ct)
+    return ct

@@ -1,0 +1,295 @@
+"""BGV keys, encryption, decryption (RNS, NTT-domain ciphertexts).
+
+Scheme: BGV with plaintext in the least-significant position —
+    c0 + c1*s  =  m + t*e   (mod q)
+Ciphertexts are stored in the NTT domain (bit-reversed order), so
+add / ct*pt / ct*ct are purely pointwise; only decomposition-style ops
+(relinearization digits, modulus switching) and decryption round-trip
+through the coefficient domain.
+
+Replaces the encrypt/run/decrypt surface the reference obtains from
+concrete-python (`model.predict(X, fhe="execute")` —
+/root/reference/fhe_similarity.py:142-160); here the primitives are
+first-class and batched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .context import CryptoContext
+from .modmath import (U32, add64, add_mod, barrett_reduce, mont_mul, neg_mod,
+                      shoup_mul, sub_mod, to_mont, umul32_wide, umulhi32)
+from .ntt import ntt_fwd, ntt_inv
+
+# ---------------------------------------------------------------------------
+# Ciphertext pytree
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Ciphertext:
+    """data: (..., k, L, N) uint32 — k polys (2, or 3 pre-relin), L limbs.
+
+    `level` = number of active RNS limbs; `is_ntt` = evaluation domain.
+    Leading batch dimensions are allowed and flow through every op.
+    """
+
+    data: jnp.ndarray
+    level: int
+    is_ntt: bool = True
+    # BGV modulus switching scales the message by p_drop^{-1} (mod t); the
+    # factor compounds multiplicatively under ct*ct.  `pt_corr` is the
+    # cumulative correction (a Python int mod t) decrypt must multiply by
+    # to recover the true message.  1 for fresh ciphertexts.
+    pt_corr: int = 1
+
+    def tree_flatten(self):
+        return (self.data,), (self.level, self.is_ntt, self.pt_corr)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2])
+
+    @property
+    def k(self) -> int:
+        return self.data.shape[-3]
+
+    @property
+    def batch_shape(self):
+        return self.data.shape[:-3]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SecretKey:
+    s: jnp.ndarray             # (N,) int32 ternary coefficients
+    s_ntt_mont: jnp.ndarray    # (L, N) uint32, NTT domain, Montgomery form
+    s2_ntt_mont: jnp.ndarray   # (L, N) uint32, s^2, NTT domain, Montgomery form
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PublicKey:
+    b_ntt: jnp.ndarray         # (L, N) uint32, NTT domain (normal form)
+    a_ntt: jnp.ndarray         # (L, N)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RelinKey:
+    """Per-level relinearization keys using the CRT-idempotent gadget.
+
+    c2 = sum_j [c2]_{p_j} * E_j (mod q_l) where E_j is the CRT idempotent
+    (1 mod p_j, 0 mod p_i).  `keys[l]` has shape (l, 2, l, N): digit j maps
+    to a ciphertext encrypting E_j * s^2, stored NTT-domain in Montgomery
+    form so relin is a single mont_mul + accumulate per digit.
+    """
+
+    keys: Dict[int, jnp.ndarray]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class KeySet:
+    sk: SecretKey
+    pk: PublicKey
+    rlk: RelinKey
+
+
+# ---------------------------------------------------------------------------
+# Sampling (all via jax.random — deterministic under a fixed seed)
+# ---------------------------------------------------------------------------
+
+
+def centered_residues(ctx: CryptoContext, v, l: int):
+    """Signed int32 poly (..., N), |v| < p_min, to residues (..., L, N) u32.
+
+    Uses two's-complement wrap: for negative v, (2^32+v) + p ≡ p + v (mod 2^32).
+    """
+    p = ctx.lp(l)
+    vu = v.astype(U32)[..., None, :]
+    return jnp.where(v[..., None, :] >= 0, vu, vu + p)
+
+
+def sample_uniform(ctx: CryptoContext, key, shape, l: int):
+    """Uniform residues in [0, p_j) — a uniform ring element by CRT."""
+    maxval = jnp.asarray(np.asarray(ctx.primes[:l], dtype=np.int32)[:, None])
+    r = jax.random.randint(key, shape + (l, ctx.n), 0, maxval, dtype=jnp.int32)
+    return r.astype(U32)
+
+
+def sample_cbd(ctx: CryptoContext, key, shape):
+    """Centered binomial error, sigma = sqrt(k/2) ~ 3.16 for k=20. int32."""
+    k = ctx.params.cbd_k
+    mask = jnp.uint32((1 << k) - 1)
+    bits = jax.random.bits(key, shape + (2, ctx.n), dtype=jnp.uint32)
+    pc = jax.lax.population_count(bits & mask).astype(jnp.int32)
+    return pc[..., 0, :] - pc[..., 1, :]
+
+
+def sample_ternary(key, shape):
+    return jax.random.randint(key, shape, -1, 2, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Key generation
+# ---------------------------------------------------------------------------
+
+
+def _payload_residues(ctx, e, m_res, l: int):
+    """Residues of t*e + m given error e (int32) and message residues m_res."""
+    e_res = centered_residues(ctx, e, l)
+    te = mont_mul(e_res, ctx.t_mont_p[:l], ctx.lp(l), ctx.lpinv(l))
+    return add_mod(te, m_res, ctx.lp(l)) if m_res is not None else te
+
+
+def keygen(ctx: CryptoContext, key, rlk_levels: Optional[list] = None) -> KeySet:
+    """Generate secret, public, and relinearization keys.
+
+    Mirrors the role of `FHEKeyManager.generate_keys`
+    (/root/reference/key_management.py:112-191), but produces real RLWE
+    key material instead of an encrypted sklearn config.
+    """
+    l = ctx.n_limbs
+    k_s, k_pk_a, k_pk_e, k_rlk = jax.random.split(key, 4)
+
+    s = sample_ternary(k_s, (ctx.n,))
+    s_res = centered_residues(ctx, s, l)
+    s_ntt = ntt_fwd(ctx.plan, s_res)
+    s_ntt_mont = to_mont(s_ntt, ctx.lp(l), ctx.lpinv(l), ctx.lr2(l))
+    # mont_mul of two Montgomery-form operands stays in Montgomery form.
+    s2_ntt_mont = mont_mul(s_ntt_mont, s_ntt_mont, ctx.lp(l), ctx.lpinv(l))
+    sk = SecretKey(s=s, s_ntt_mont=s_ntt_mont, s2_ntt_mont=s2_ntt_mont)
+
+    # Public key: b = -(a*s) + t*e.
+    a_ntt = sample_uniform(ctx, k_pk_a, (), l)
+    e = sample_cbd(ctx, k_pk_e, ())
+    te_ntt = ntt_fwd(ctx.plan, _payload_residues(ctx, e, None, l))
+    as_ntt = mont_mul(a_ntt, s_ntt_mont, ctx.lp(l), ctx.lpinv(l))
+    pk = PublicKey(b_ntt=sub_mod(te_ntt, as_ntt, ctx.lp(l)), a_ntt=a_ntt)
+
+    # Relinearization keys per level.
+    levels = rlk_levels if rlk_levels is not None else list(range(2, l + 1))
+    rlk_keys: Dict[int, jnp.ndarray] = {}
+    for lv in levels:
+        p_lv, pinv_lv, r2_lv = ctx.lp(lv), ctx.lpinv(lv), ctx.lr2(lv)
+        s_m = s_ntt_mont[:lv]
+        s2 = mont_mul(s2_ntt_mont[:lv], jnp.uint32(1), p_lv, pinv_lv)  # normal form
+        per_digit = []
+        for j in range(lv):
+            k_rlk, ka, ke = jax.random.split(k_rlk, 3)
+            a_j = sample_uniform(ctx, ka, (), lv)
+            e_j = sample_cbd(ctx, ke, ())
+            b_j = sub_mod(ntt_fwd(ctx.plan, _payload_residues(ctx, e_j, None, lv)),
+                          mont_mul(a_j, s_m, p_lv, pinv_lv), p_lv)
+            # Add E_j * s^2: residues are s^2 in limb j, zero elsewhere.
+            limb_mask = (jnp.arange(lv) == j)[:, None]
+            b_j = jnp.where(limb_mask, add_mod(b_j, s2, p_lv), b_j)
+            per_digit.append(jnp.stack([b_j, a_j]))
+        rk = jnp.stack(per_digit)                      # (lv, 2, lv, N)
+        rlk_keys[lv] = to_mont(rk, p_lv, pinv_lv, r2_lv)
+
+    return KeySet(sk=sk, pk=pk, rlk=RelinKey(keys=rlk_keys))
+
+
+# ---------------------------------------------------------------------------
+# Encryption / decryption
+# ---------------------------------------------------------------------------
+
+
+def encrypt_sym(ctx: CryptoContext, sk: SecretKey, key, m) -> Ciphertext:
+    """Symmetric encryption of int32 message poly m: (..., N), |m| < t/2."""
+    l = ctx.n_limbs
+    shape = m.shape[:-1]
+    k_a, k_e = jax.random.split(key)
+    a_ntt = sample_uniform(ctx, k_a, shape, l)
+    e = sample_cbd(ctx, k_e, shape)
+    m_res = centered_residues(ctx, m, l)
+    pay_ntt = ntt_fwd(ctx.plan, _payload_residues(ctx, e, m_res, l))
+    c0 = sub_mod(pay_ntt, mont_mul(a_ntt, sk.s_ntt_mont, ctx.lp(l), ctx.lpinv(l)),
+                 ctx.lp(l))
+    return Ciphertext(jnp.stack([c0, a_ntt], axis=-3), level=l, is_ntt=True)
+
+
+def encrypt_pk(ctx: CryptoContext, pk: PublicKey, key, m) -> Ciphertext:
+    """Public-key encryption: (c0, c1) = (b*u + t*e0 + m, a*u + t*e1)."""
+    l = ctx.n_limbs
+    shape = m.shape[:-1]
+    k_u, k_e0, k_e1 = jax.random.split(key, 3)
+    u = sample_ternary(k_u, shape + (ctx.n,))
+    u_ntt_m = to_mont(ntt_fwd(ctx.plan, centered_residues(ctx, u, l)),
+                      ctx.lp(l), ctx.lpinv(l), ctx.lr2(l))
+    e0 = sample_cbd(ctx, k_e0, shape)
+    e1 = sample_cbd(ctx, k_e1, shape)
+    m_res = centered_residues(ctx, m, l)
+    p, pinv = ctx.lp(l), ctx.lpinv(l)
+    c0 = add_mod(mont_mul(pk.b_ntt, u_ntt_m, p, pinv),
+                 ntt_fwd(ctx.plan, _payload_residues(ctx, e0, m_res, l)), p)
+    c1 = add_mod(mont_mul(pk.a_ntt, u_ntt_m, p, pinv),
+                 ntt_fwd(ctx.plan, _payload_residues(ctx, e1, None, l)), p)
+    return Ciphertext(jnp.stack([c0, c1], axis=-3), level=l, is_ntt=True)
+
+
+def _phase(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext):
+    """c0 + c1*s (+ c2*s^2), NTT domain, at ct.level."""
+    l = ct.level
+    p, pinv = ctx.lp(l), ctx.lpinv(l)
+    d = ct.data
+    x = add_mod(d[..., 0, :, :],
+                mont_mul(d[..., 1, :, :], sk.s_ntt_mont[:l], p, pinv), p)
+    if ct.k == 3:
+        x = add_mod(x, mont_mul(d[..., 2, :, :], sk.s2_ntt_mont[:l], p, pinv), p)
+    return x
+
+
+def rns_decode_centered(ctx: CryptoContext, x, l: int, pt_corr: int = 1):
+    """Exact [x]_q mod t (centered) from residues x: (..., L, N) -> int32.
+
+    `pt_corr` (static Python int) undoes the cumulative p_drop^{-1} message
+    scaling from modulus switches (see Ciphertext.pt_corr).
+    See module docstring of context.py for the Q56 fixed-point analysis.
+    """
+    lt = ctx.levels[l]
+    p = ctx.lp(l)
+    y = shoup_mul(x, lt.inv_qhat, lt.inv_qhat_sh, p)       # (..., l, N)
+
+    # v_hat = round(sum_j y_j / p_j) via Q56 fixed point.
+    s_hi = jnp.zeros(y.shape[:-2] + (y.shape[-1],), dtype=U32)
+    s_lo = jnp.zeros_like(s_hi)
+    for j in range(l):
+        hi, lo = umul32_wide(y[..., j, :], ctx.v_c[j, 0])
+        s_hi, s_lo = add64(s_hi, s_lo, hi, lo)
+    v_hat = (s_hi + jnp.uint32(1 << 23)) >> 24
+
+    # m = sum_j (y_j mod t) * (q/p_j) - v_hat * q  (mod t).
+    t, tinv, mu_t = ctx.t_u32[0], ctx.t_neg_inv[0], ctx.mu_t[0]
+    y_t = barrett_reduce(y, t, mu_t)
+    terms = mont_mul(y_t, lt.r_t_mont, t, tinv)
+    m = terms[..., 0, :]
+    for j in range(1, l):
+        m = add_mod(m, terms[..., j, :], t)
+    vq = mont_mul(v_hat, lt.q_mod_t_mont[0], t, tinv)
+    m = sub_mod(m, vq, t)
+    # Undo the cumulative p_drop^{-1} message scaling from modulus switches.
+    if pt_corr % ctx.t != 1:
+        corr_mont = jnp.uint32(pt_corr % ctx.t * (1 << 32) % ctx.t)
+        m = mont_mul(m, corr_mont, t, tinv)
+
+    # Center into (-t/2, t/2] using uint32 wrap + bitcast.
+    return jnp.where(m > ctx.t_half[0, 0],
+                     jax.lax.bitcast_convert_type(m - t, jnp.int32),
+                     jax.lax.bitcast_convert_type(m, jnp.int32))
+
+
+def decrypt(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext):
+    """Decrypt to the centered int32 message poly (..., N)."""
+    x_ntt = _phase(ctx, sk, ct)
+    x = ntt_inv(ctx.plan, x_ntt)
+    return rns_decode_centered(ctx, x, ct.level, ct.pt_corr)

@@ -1,0 +1,174 @@
+"""Negacyclic NTT/INTT over RNS limbs, vectorized for TPU.
+
+Algorithm
+---------
+Negacyclic convolution (mod X^N + 1) is computed as: twist by powers of
+psi (a 2N-th root of unity), then a *cyclic* NTT.  The cyclic transform
+is a reshape-based radix-2 pair:
+
+* forward  = decimation-in-frequency (Gentleman-Sande), natural input ->
+  bit-reversed output;
+* inverse  = decimation-in-time (Cooley-Tukey), bit-reversed input ->
+  natural output.
+
+Pointwise products happen in bit-reversed order, so no bit-reversal
+permutation is ever materialized.  Every stage is a contiguous reshape
+(..., B, 2, m) plus vectorized butterflies — no gathers, XLA-friendly,
+and the same code is bit-exact on CPU and TPU.
+
+Data layout: polynomials are `(..., L, N)` uint32, one row per RNS limb;
+all twiddle tables carry a leading L axis.  Per-limb twiddle products
+use Shoup multiplication (see modmath.shoup_mul).
+
+The reference has no NTT of its own — polynomial multiplication lives in
+Concrete's native runtime (/root/reference/requirements.txt:7).  This
+module is the TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import primes as pr
+from .modmath import add_mod, shoup_mul, sub_mod
+
+
+@dataclass(frozen=True)
+class NttPlan:
+    """Precomputed tables for a fixed (N, primes) pair.
+
+    All arrays are uint32.  Twiddles per forward/inverse stage `s` have
+    shape (L, 1, N >> (s+1)) so they broadcast against data reshaped to
+    (..., L, B, 2, m).
+    """
+
+    n: int
+    primes: Tuple[int, ...]
+    p: jnp.ndarray                      # (L, 1)
+    fw_tw: Tuple[jnp.ndarray, ...]      # per stage (L, 1, m)
+    fw_sh: Tuple[jnp.ndarray, ...]
+    inv_tw: Tuple[jnp.ndarray, ...]
+    inv_sh: Tuple[jnp.ndarray, ...]
+    psi: jnp.ndarray                    # (L, N) twist psi^i
+    psi_sh: jnp.ndarray
+    psi_inv_n: jnp.ndarray              # (L, N) psi^{-i} * N^{-1}
+    psi_inv_n_sh: jnp.ndarray
+
+    @property
+    def log_n(self) -> int:
+        return self.n.bit_length() - 1
+
+
+def _u32(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.uint32)
+
+
+def build_plan(n: int, prime_list: Tuple[int, ...]) -> NttPlan:
+    """Build twiddle tables host-side with exact big-int arithmetic."""
+    assert n & (n - 1) == 0, "N must be a power of two"
+    log_n = n.bit_length() - 1
+    fw_tw: List[np.ndarray] = [[] for _ in range(log_n)]
+    fw_sh: List[np.ndarray] = [[] for _ in range(log_n)]
+    inv_tw: List[np.ndarray] = [[] for _ in range(log_n)]
+    inv_sh: List[np.ndarray] = [[] for _ in range(log_n)]
+    psi_rows, psi_sh_rows, psi_inv_rows, psi_inv_sh_rows = [], [], [], []
+
+    for p in prime_list:
+        psi = pr.root_of_unity(p, 2 * n)       # psi^n = -1 mod p
+        w = psi * psi % p                      # n-th root for the cyclic part
+        w_inv = pow(w, p - 2, p)
+        n_inv = pow(n, p - 2, p)
+        psi_inv = pow(psi, p - 2, p)
+
+        for s in range(log_n):
+            m = n >> (s + 1)
+            step = 1 << s
+            tws = [pow(w, i * step, p) for i in range(m)]
+            itws = [pow(w_inv, i * step, p) for i in range(m)]
+            fw_tw[s].append(_u32(tws))
+            fw_sh[s].append(_u32([pr.shoup(t, p) for t in tws]))
+            inv_tw[s].append(_u32(itws))
+            inv_sh[s].append(_u32([pr.shoup(t, p) for t in itws]))
+
+        psi_pow = [pow(psi, i, p) for i in range(n)]
+        psi_inv_n = [pow(psi_inv, i, p) * n_inv % p for i in range(n)]
+        psi_rows.append(_u32(psi_pow))
+        psi_sh_rows.append(_u32([pr.shoup(t, p) for t in psi_pow]))
+        psi_inv_rows.append(_u32(psi_inv_n))
+        psi_inv_sh_rows.append(_u32([pr.shoup(t, p) for t in psi_inv_n]))
+
+    def stack_stage(rows_per_stage):
+        return tuple(
+            jnp.asarray(np.stack(rows)[:, None, :]) for rows in rows_per_stage
+        )
+
+    return NttPlan(
+        n=n,
+        primes=tuple(prime_list),
+        p=jnp.asarray(_u32(prime_list)[:, None]),
+        fw_tw=stack_stage(fw_tw),
+        fw_sh=stack_stage(fw_sh),
+        inv_tw=stack_stage(inv_tw),
+        inv_sh=stack_stage(inv_sh),
+        psi=jnp.asarray(np.stack(psi_rows)),
+        psi_sh=jnp.asarray(np.stack(psi_sh_rows)),
+        psi_inv_n=jnp.asarray(np.stack(psi_inv_rows)),
+        psi_inv_n_sh=jnp.asarray(np.stack(psi_inv_sh_rows)),
+    )
+
+
+def _limbs(plan: NttPlan, x) -> int:
+    l = x.shape[-2]
+    assert l <= plan.p.shape[0], "more limbs than plan primes"
+    return l
+
+
+def _cyclic_fwd(plan: NttPlan, x, l: int):
+    lead = x.shape[:-1]
+    n = plan.n
+    p = plan.p[:l, :, None]
+    for s in range(plan.log_n):
+        m = n >> (s + 1)
+        b = 1 << s
+        x = x.reshape(lead + (b, 2, m))
+        u, v = x[..., 0, :], x[..., 1, :]
+        hi = shoup_mul(sub_mod(u, v, p), plan.fw_tw[s][:l], plan.fw_sh[s][:l], p)
+        x = jnp.stack([add_mod(u, v, p), hi], axis=-2)
+    return x.reshape(lead + (n,))
+
+
+def _cyclic_inv(plan: NttPlan, x, l: int):
+    lead = x.shape[:-1]
+    n = plan.n
+    p = plan.p[:l, :, None]
+    for s in range(plan.log_n - 1, -1, -1):
+        m = n >> (s + 1)
+        b = 1 << s
+        x = x.reshape(lead + (b, 2, m))
+        t = shoup_mul(x[..., 1, :], plan.inv_tw[s][:l], plan.inv_sh[s][:l], p)
+        x = jnp.stack([add_mod(x[..., 0, :], t, p), sub_mod(x[..., 0, :], t, p)],
+                      axis=-2)
+    return x.reshape(lead + (n,))
+
+
+def ntt_fwd(plan: NttPlan, x):
+    """Coefficient domain (natural order) -> NTT domain (bit-reversed).
+
+    x: (..., L, N) uint32, residues in [0, p_l).
+    """
+    l = _limbs(plan, x)
+    p = plan.p[:l]
+    twisted = shoup_mul(x, plan.psi[:l], plan.psi_sh[:l], p)
+    return _cyclic_fwd(plan, twisted, l)
+
+
+def ntt_inv(plan: NttPlan, x):
+    """NTT domain (bit-reversed) -> coefficient domain (natural order)."""
+    l = _limbs(plan, x)
+    p = plan.p[:l]
+    raw = _cyclic_inv(plan, x, l)
+    return shoup_mul(raw, plan.psi_inv_n[:l], plan.psi_inv_n_sh[:l], p)

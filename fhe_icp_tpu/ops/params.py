@@ -1,0 +1,94 @@
+"""Crypto parameter sets (ring degree, RNS modulus chain, plaintext modulus).
+
+The reference never exposes parameters — Zama Concrete picks them inside
+`model.compile()` (/root/reference/fhe_similarity.py:108-140).  Here they are
+explicit, deterministic, and checked against the homomorphic-encryption
+standard security table.
+
+Design constraints baked in:
+* limb primes p in (2^30, 2^31), p ≡ 1 (mod 2^16): NTT-friendly for every
+  ring size up to N=32768, fit uint32 with lazy-add headroom, and are big
+  enough that floor(2^56/p) fits uint32 (exact RNS decode, see context.py).
+* plaintext modulus t: largest prime < 2^30 with t ≡ 1 (mod 2^16) — holds
+  the full scale-1000 quantized dot-product range (|score| <= 128e6, see
+  /root/reference/embedding_utils.py:42-44) and is NTT-friendly for
+  future SIMD packing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Tuple
+
+from . import primes as pr
+
+# Max log2(q) for 128-bit security with ternary secret (HE standard 2018).
+_MAX_LOG_Q_128 = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
+
+# Plaintext modulus shared by all presets: largest prime < 2^30, ≡ 1 mod 2^16.
+T_MODULUS = pr.ntt_primes(1, bits=30)[0]
+
+
+@dataclass(frozen=True)
+class CryptoParams:
+    """A named BGV parameter preset."""
+
+    name: str
+    n: int                      # ring degree (power of two)
+    n_limbs: int                # RNS limbs in a fresh ciphertext
+    t: int = T_MODULUS          # plaintext modulus (prime)
+    cbd_k: int = 20             # centered-binomial error param, sigma = sqrt(k/2)
+    allow_insecure: bool = False
+
+    @cached_property
+    def primes(self) -> Tuple[int, ...]:
+        return pr.ntt_primes(self.n_limbs, bits=31)
+
+    @cached_property
+    def q(self) -> int:
+        out = 1
+        for p in self.primes:
+            out *= p
+        return out
+
+    @cached_property
+    def log_q(self) -> float:
+        return self.q.bit_length()
+
+    @cached_property
+    def secure_128(self) -> bool:
+        limit = _MAX_LOG_Q_128.get(self.n, 0)
+        return self.log_q <= limit
+
+    def __post_init__(self):
+        assert self.n & (self.n - 1) == 0
+        if not self.allow_insecure:
+            limit = _MAX_LOG_Q_128.get(self.n, 0)
+            if self.q.bit_length() > limit:
+                raise ValueError(
+                    f"{self.name}: log q = {self.q.bit_length()} exceeds the "
+                    f"128-bit security limit {limit} for N={self.n}; pass "
+                    f"allow_insecure=True for test-only parameter sets"
+                )
+
+
+PRESETS = {
+    # Test-only tiny ring: fast unit tests, NOT secure.
+    "test-512": CryptoParams("test-512", n=512, n_limbs=2, allow_insecure=True),
+    # Default for the encrypted-similarity pipeline (ct x pt workloads).
+    "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=3),
+    # ct x ct multiplication + relinearization headroom.
+    "mult-8192": CryptoParams("mult-8192", n=8192, n_limbs=6),
+    # Large-ring configuration (BASELINE.json config 4).
+    "ring-16384": CryptoParams("ring-16384", n=16384, n_limbs=12),
+}
+
+DEFAULT_PRESET = "pairwise-4096"
+
+
+def get_params(name: str) -> CryptoParams:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -1,0 +1,127 @@
+"""FheRuntime: jitted, cached entry points over the pure crypto functions.
+
+The functional layers (cipher/arith/dot) are pure and eager-agnostic;
+this class closes them over a CryptoContext and wraps each operation in
+`jax.jit` exactly once, so repeated calls hit the XLA executable cache.
+Ciphertext is a registered pytree (level/is_ntt are static aux data), so
+ops retrace only when the level or arity actually changes.
+
+This is the layer the pipeline, CLI, and benchmarks call — the analog of
+the compiled `fhe_circuit` handle the reference gets back from Concrete
+(/root/reference/fhe_similarity.py:120-140), except the "circuit" here is
+XLA-compiled TPU code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import arith, dot
+from .cipher import (Ciphertext, KeySet, decrypt, encrypt_pk, encrypt_sym,
+                     keygen)
+from .context import CryptoContext
+from .encoding import encode_fwd, encode_rev
+from .params import CryptoParams, get_params
+
+
+class FheRuntime:
+    """Jitted FHE operations bound to one parameter set + key set."""
+
+    def __init__(self, params: CryptoParams | str,
+                 keys: Optional[KeySet] = None):
+        if isinstance(params, str):
+            params = get_params(params)
+        self.params = params
+        self.ctx = CryptoContext(params)
+        self.keys = keys
+
+        ctx = self.ctx
+        self._keygen = jax.jit(lambda key: keygen(ctx, key))
+        self._encrypt_sym = jax.jit(
+            lambda sk, key, m: encrypt_sym(ctx, sk, key, m))
+        self._encrypt_pk = jax.jit(
+            lambda pk, key, m: encrypt_pk(ctx, pk, key, m))
+        self._decrypt = jax.jit(lambda sk, ct: decrypt(ctx, sk, ct))
+        self._add = jax.jit(lambda a, b: arith.add(ctx, a, b))
+        self._sub = jax.jit(lambda a, b: arith.sub(ctx, a, b))
+        self._neg = jax.jit(lambda a: arith.neg(ctx, a))
+        self._mul_ct = jax.jit(lambda a, b: arith.mul_ct(ctx, a, b))
+        self._relin = jax.jit(lambda rk, a: arith.relinearize(ctx, rk, a))
+        self._mod_switch = jax.jit(lambda a: arith.mod_switch(ctx, a))
+        self._dot_ct_pt = jax.jit(lambda a, b: dot.dot_ct_pt(ctx, a, b))
+        self._dot_ct_ct = jax.jit(
+            lambda rk, a, b: dot.dot_ct_ct(ctx, rk, a, b))
+        self._matvec = jax.jit(lambda cts, q: dot.matvec_ct_pt(ctx, cts, q))
+        self._decrypt_dot = jax.jit(
+            lambda sk, ct, d: dot.decrypt_dot(ctx, sk, ct, d),
+            static_argnums=2)
+        self._encrypt_vec = jax.jit(
+            lambda sk, key, v: encrypt_sym(ctx, sk, key,
+                                           encode_fwd(v, ctx.n)))
+        self._encrypt_vec_rev = jax.jit(
+            lambda sk, key, v: encrypt_sym(ctx, sk, key,
+                                           encode_rev(v, ctx.n)))
+
+    # -- keys --------------------------------------------------------------
+    def generate_keys(self, seed: int = 0) -> KeySet:
+        self.keys = self._keygen(jax.random.PRNGKey(seed))
+        return self.keys
+
+    def _require_keys(self) -> KeySet:
+        if self.keys is None:
+            raise RuntimeError("no keys loaded; call generate_keys() first")
+        return self.keys
+
+    # -- core ops ----------------------------------------------------------
+    def encrypt(self, m, seed: int = 0) -> Ciphertext:
+        return self._encrypt_sym(self._require_keys().sk,
+                                 jax.random.PRNGKey(seed),
+                                 jnp.asarray(m, dtype=jnp.int32))
+
+    def encrypt_public(self, m, seed: int = 0) -> Ciphertext:
+        return self._encrypt_pk(self._require_keys().pk,
+                                jax.random.PRNGKey(seed),
+                                jnp.asarray(m, dtype=jnp.int32))
+
+    def decrypt(self, ct: Ciphertext):
+        return self._decrypt(self._require_keys().sk, ct)
+
+    def add(self, a, b):
+        return self._add(a, b)
+
+    def sub(self, a, b):
+        return self._sub(a, b)
+
+    def neg(self, a):
+        return self._neg(a)
+
+    def mul_ct(self, a, b, relinearize: bool = True):
+        prod = self._mul_ct(a, b)
+        if relinearize:
+            prod = self._relin(self._require_keys().rlk.keys, prod)
+        return prod
+
+    def mod_switch(self, a):
+        return self._mod_switch(a)
+
+    # -- vector / dot-product API -----------------------------------------
+    def encrypt_vector(self, vec, seed: int = 0, rev: bool = False):
+        fn = self._encrypt_vec_rev if rev else self._encrypt_vec
+        return fn(self._require_keys().sk, jax.random.PRNGKey(seed),
+                  jnp.asarray(vec, dtype=jnp.int32))
+
+    def dot_ct_pt(self, ct, vec_clear):
+        return self._dot_ct_pt(ct, jnp.asarray(vec_clear, dtype=jnp.int32))
+
+    def dot_ct_ct(self, ct_a, ct_b_rev):
+        return self._dot_ct_ct(self._require_keys().rlk.keys, ct_a, ct_b_rev)
+
+    def matvec(self, cts, query_clear):
+        return self._matvec(cts, jnp.asarray(query_clear, dtype=jnp.int32))
+
+    def decrypt_dot(self, ct, d: int):
+        return self._decrypt_dot(self._require_keys().sk, ct, d)
