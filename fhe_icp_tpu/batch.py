@@ -29,6 +29,7 @@ import numpy as np
 
 from .keymgr import FHEKeyManager
 from .models.embedder import make_embedder
+from .ops import fastdot
 from .models.reduction import DimensionReducer
 from .models.similarity import FHESimilarityModel
 from .ops.cipher import Ciphertext
@@ -228,11 +229,21 @@ class BatchProcessor:
 
         docs = [self.storage.load(d) for d in doc_ids]
         dim = docs[0].dim
+        level = docs[0].ct_level
         batch = np.stack([d.ct_data[:2] for d in docs])      # (B, 2, L, N)
-        cts = Ciphertext(jnp.asarray(batch), docs[0].ct_level, True)
-        scores_ct = self.runtime.matvec(cts, q_int)
-        raw = np.asarray(self.runtime.decrypt_dot(scores_ct, dim),
-                         dtype=np.int64)
+        if len(docs) >= 64:
+            # MXU fast path: digit-plane matmul scoring (ops/fastdot.py).
+            ctx, sk = self.runtime.ctx, self.runtime.keys.sk
+            doc_op = fastdot.make_doc_operand(ctx, jnp.asarray(batch), level)
+            q_op = fastdot.make_query_operand(ctx, sk, jnp.asarray(q_int),
+                                              dim, level)
+            raw = np.asarray(fastdot.scores(ctx, doc_op, q_op),
+                             dtype=np.int64)
+        else:
+            cts = Ciphertext(jnp.asarray(batch), level, True)
+            raw = np.asarray(
+                self.runtime.decrypt_dot(self.runtime.matvec(cts, q_int), dim),
+                dtype=np.int64)
         sims = raw / float(self.scale * self.scale)
         order = np.argsort(-sims)
         out = [(doc_ids[i], float(sims[i])) for i in order

@@ -293,3 +293,68 @@ def decrypt(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext):
     x_ntt = _phase(ctx, sk, ct)
     x = ntt_inv(ctx.plan, x_ntt)
     return rns_decode_centered(ctx, x, ct.level, ct.pt_corr)
+
+
+# ---------------------------------------------------------------------------
+# Single-coefficient decryption (the dot-product fast path)
+# ---------------------------------------------------------------------------
+
+
+def coeff_weights(ctx: CryptoContext, j: int, l: int):
+    """Per-limb row of the INTT matrix for output coefficient j.
+
+    Our NTT-domain vectors are bit-reversed: slot m holds frequency
+    bitrev(m).  Coefficient j of ntt_inv(X) is
+
+        out[j] = psi^{-j} * N^{-1} * sum_m X[m] * w^{-j*bitrev(m)}  (mod p)
+
+    so a single coefficient is one length-N modular dot product instead
+    of a full O(N log N) INTT — the decisive optimization for encrypted
+    dot-product scores, where only coefficient d-1 is consumed.  Weights
+    are returned in Montgomery form, cached per (j, l).
+    """
+    key = ("coeff_w", j, l)
+    cached = ctx.cache.get(key)
+    if cached is not None:
+        return cached
+    from . import primes as pr
+    n, log_n = ctx.n, ctx.n.bit_length() - 1
+    rows = []
+    for p in ctx.primes[:l]:
+        psi = pr.root_of_unity(p, 2 * n)
+        w = psi * psi % p
+        n_inv = pow(n, p - 2, p)
+        lead = pow(psi, -(j % (2 * n)), p) * n_inv % p
+        w_inv = pow(w, p - 2, p)
+        row = np.empty(n, dtype=np.uint32)
+        for m in range(n):
+            f = int(format(m, f"0{log_n}b")[::-1], 2)      # bitrev(m)
+            row[m] = lead * pow(w_inv, (j * f) % n, p) % p * (1 << 32) % p
+        rows.append(row)
+    # Cache as numpy: jnp.asarray inside a jit trace would capture a tracer
+    # and poison later traces; numpy constants embed safely in any trace.
+    out = np.stack(rows)
+    ctx.cache[key] = out
+    return out
+
+
+def tree_sum_mod(x, p):
+    """Sum over the last axis mod p via log-depth pairwise add_mod."""
+    while x.shape[-1] > 1:
+        half = x.shape[-1] // 2
+        lo, hi = x[..., :half], x[..., half: 2 * half]
+        s = add_mod(lo, hi, p)
+        if x.shape[-1] % 2:
+            s = s.at[..., :1].set(add_mod(s[..., :1], x[..., -1:], p))
+        x = s
+    return x
+
+
+def decrypt_coeff(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext, j: int):
+    """Decrypt ONLY coefficient j -> (...,) int32, skipping the full INTT."""
+    l = ct.level
+    p, pinv = ctx.lp(l), ctx.lpinv(l)
+    x = _phase(ctx, sk, ct)                         # (..., l, N) NTT domain
+    terms = mont_mul(x, coeff_weights(ctx, j, l), p, pinv)
+    res = tree_sum_mod(terms, p)                    # (..., l, 1)
+    return rns_decode_centered(ctx, res, l, ct.pt_corr)[..., 0]

@@ -68,6 +68,7 @@ class CryptoContext:
 
     def __init__(self, params: CryptoParams):
         self.params = params
+        self.cache: Dict = {}          # derived device tables (see cipher.py)
         self.n = params.n
         self.t = params.t
         self.n_limbs = params.n_limbs

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import arith
-from .cipher import Ciphertext, decrypt, encrypt_sym
+from .cipher import Ciphertext, decrypt, decrypt_coeff, encrypt_sym
 from .context import CryptoContext
 from .encoding import encode_fwd, encode_rev, extract_dot
 
@@ -51,8 +51,12 @@ def dot_ct_ct(ctx: CryptoContext, rlk_keys, ct_a: Ciphertext,
 
 
 def decrypt_dot(ctx: CryptoContext, sk, ct: Ciphertext, d: int):
-    """Decrypt and read the inner-product coefficient -> (...,) int32."""
-    return extract_dot(decrypt(ctx, sk, ct), d)
+    """Decrypt ONLY the inner-product coefficient d-1 -> (...,) int32.
+
+    Uses the single-coefficient decode (one modular dot product against a
+    precomputed INTT row) instead of a full INTT — O(N) vs O(N log N).
+    """
+    return decrypt_coeff(ctx, sk, ct, d - 1)
 
 
 def matvec_ct_pt(ctx: CryptoContext, cts: Ciphertext, query_clear) -> Ciphertext:

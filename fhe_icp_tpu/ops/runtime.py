@@ -15,10 +15,24 @@ XLA-compiled TPU code.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache: keygen/relin graphs take minutes to
+# compile on some backends (remote-compile TPU tunnels); cache across
+# processes.  Disable with FHE_JAX_CACHE=0.
+if os.environ.get("FHE_JAX_CACHE", "1") == "1":
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(os.environ.get(
+                "FHE_JAX_CACHE_DIR", "~/.cache/fhe_icp_tpu_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass
 
 from . import arith, dot
 from .cipher import (Ciphertext, KeySet, decrypt, encrypt_pk, encrypt_sym,
@@ -67,8 +81,23 @@ class FheRuntime:
                                            encode_rev(v, ctx.n)))
 
     # -- keys --------------------------------------------------------------
-    def generate_keys(self, seed: int = 0) -> KeySet:
-        self.keys = self._keygen(jax.random.PRNGKey(seed))
+    def generate_keys(self, seed: int = 0, on: str = "cpu") -> KeySet:
+        """Generate a key set.  Runs on the CPU backend by default: keygen
+        is a one-shot host-side operation whose (large, digit-unrolled)
+        graph can take minutes to compile on remote-compile TPU backends,
+        vs seconds on CPU; the resulting arrays are pushed to the default
+        device afterwards."""
+        try:
+            dev = jax.devices(on)[0]
+        except RuntimeError:
+            dev = jax.devices()[0]
+        with jax.default_device(dev):
+            ks = jax.block_until_ready(
+                self._keygen(jax.random.PRNGKey(seed)))
+        default = jax.devices()[0]
+        if dev != default:
+            ks = jax.device_put(ks, default)
+        self.keys = ks
         return self.keys
 
     def _require_keys(self) -> KeySet:
