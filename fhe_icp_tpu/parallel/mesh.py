@@ -35,7 +35,11 @@ def make_mesh(n_devices: Optional[int] = None,
     if shape is None:
         shape = (n, 1)
     assert shape[0] * shape[1] == n, f"mesh shape {shape} != {n} devices"
-    return jax.make_mesh(shape, (DP_AXIS, TP_AXIS), devices=devs[:n])
+    # Auto axis types: let XLA's sharding propagation place intermediate
+    # shardings (explicit mode rejects e.g. top_k over a dp-sharded array).
+    auto = jax.sharding.AxisType.Auto
+    return jax.make_mesh(shape, (DP_AXIS, TP_AXIS), devices=devs[:n],
+                         axis_types=(auto, auto))
 
 
 def batch_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:

@@ -1,10 +1,17 @@
-"""Sharded encrypted search: batched ciphertext-matvec + top-k over a mesh.
+"""Sharded encrypted search: batched scoring + distributed top-k over a mesh.
 
 BASELINE.json configs 3/5: one clear query against an encrypted document
-store.  The store's ciphertexts (B, 2, L, N) are sharded batch-over-dp
-and limbs-over-tp; the pointwise NTT-domain multiply needs no
-communication, the exact RNS decode reduces over the limb (tp) axis
-(XLA inserts the psum over ICI), and top-k merges across dp.
+store.  Two implementations:
+
+* `make_sharded_search` — NTT-domain matvec + single-coefficient decode,
+  sharded batch-over-dp / limbs-over-tp.  The pointwise multiply needs no
+  communication; the RNS decode contracts the limb (tp) axis (XLA inserts
+  the gather/psum over ICI); top-k merges across dp.
+* `make_sharded_fastdot_search` — the MXU digit-matmul fast path
+  (ops/fastdot.py) sharded batch-over-dp: each chip scores its shard of
+  the store with one int8 matmul against the replicated query operand,
+  then per-shard top-k results merge with one tiny all-gather — cross-
+  chip traffic is O(k), not O(n).
 
 Replaces the reference's per-document Python predict loop
 (/root/reference/batch_operations.py:263-284) with one pjit'd program.
@@ -19,14 +26,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dot as fhe_dot
+from ..ops import fastdot
 from ..ops.cipher import Ciphertext
 from ..ops.context import CryptoContext
-from .mesh import batch_sharding, replicated
+from .mesh import DP_AXIS, batch_sharding, replicated
 
 
 def make_sharded_search(ctx: CryptoContext, sk, mesh, d: int, level: int,
                         top_k: int = 5):
-    """Build a jitted sharded search step.
+    """Build a jitted sharded search step (NTT-domain reference path).
 
     Returns fn(cts_data (B, 2, L, N) u32, query (d,) i32) ->
     (scores (B,) i32, topk_vals (k,) i32, topk_idx (k,) i32).
@@ -43,3 +51,35 @@ def make_sharded_search(ctx: CryptoContext, sk, mesh, d: int, level: int,
 
     return jax.jit(step, in_shardings=(bs, rep),
                    out_shardings=(rep, rep, rep))
+
+
+def doc_operand_sharding(mesh) -> jax.sharding.NamedSharding:
+    """DocOperand digits (L, 4, B, 2N): shard the batch axis over dp."""
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, DP_AXIS, None))
+
+
+def make_sharded_fastdot_search(ctx: CryptoContext, mesh, top_k: int = 5,
+                                pt_corr: int = 1):
+    """Build the MXU fast-path sharded search step.
+
+    Returns fn(doc_digits (L, 4, B, 2N) i8, query_digits (L, 4, 2N) i8)
+    -> (scores (B,) i32, topk_vals (k,) i32, topk_idx (k,) i32).
+
+    Documents shard over dp; the query operand is replicated.  Each chip
+    computes its shard's scores locally; the final top-k runs on the
+    all-gathered (B,) score vector — O(B) int32, tiny next to the
+    ciphertexts, and XLA keeps the matmul fully local.
+    """
+    ds = doc_operand_sharding(mesh)
+    rep = replicated(mesh)
+
+    def step(doc_digits, query_digits, level: int):
+        docs = fastdot.DocOperand(doc_digits, level)
+        q = fastdot.QueryOperand(query_digits, level, 0)
+        scores = fastdot.scores(ctx, docs, q, pt_corr)     # (B,) int32
+        vals, idx = jax.lax.top_k(scores, top_k)
+        return scores, vals, idx
+
+    return jax.jit(partial(step, level=ctx.n_limbs),
+                   in_shardings=(ds, rep), out_shardings=(rep, rep, rep))
