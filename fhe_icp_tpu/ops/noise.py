@@ -42,7 +42,12 @@ def phase_centered(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext,
 
 def noise_budget_bits(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext,
                       max_coeffs: int = 256) -> int:
-    """Bits of headroom: floor(log2(q/2 / max|phase|)). Negative = broken."""
+    """Bits of headroom: floor(log2(q/2 / max|phase|)).
+
+    The centered phase saturates at q/2, so 0 is the floor and means the
+    ciphertext is broken (noise has wrapped); healthy ciphertexts report
+    a comfortably positive number.
+    """
     vals = phase_centered(ctx, sk, ct, max_coeffs)
     worst = max((abs(int(v)) for v in vals), default=0)
     q = 1

@@ -76,6 +76,10 @@ class CryptoParams:
 PRESETS = {
     # Test-only tiny ring: fast unit tests, NOT secure.
     "test-512": CryptoParams("test-512", n=512, n_limbs=2, allow_insecure=True),
+    # Test-only with ct x ct headroom: q ~ 2^93 holds the t^2*e1*e2 noise
+    # of one multiplication (2 limbs / 2^62 does not).  NOT secure.
+    "test-512-mult": CryptoParams("test-512-mult", n=512, n_limbs=3,
+                                  allow_insecure=True),
     # Default for the encrypted-similarity pipeline (ct x pt workloads).
     "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=3),
     # ct x ct multiplication + relinearization headroom.

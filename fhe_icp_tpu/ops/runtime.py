@@ -21,15 +21,27 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Persistent XLA compilation cache: keygen/relin graphs take minutes to
-# compile on some backends (remote-compile TPU tunnels); cache across
-# processes.  Disable with FHE_JAX_CACHE=0.
-if os.environ.get("FHE_JAX_CACHE", "1") == "1":
+_cache_ready = False
+
+
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache, scoped per backend.
+
+    Keygen/relin graphs take minutes to compile on remote-compile TPU
+    tunnels; cache across processes.  The directory is suffixed with the
+    backend platform so CPU artifacts (whose machine-feature flags vary
+    between environments) never collide with TPU ones.  Disable with
+    FHE_JAX_CACHE=0.
+    """
+    global _cache_ready
+    if _cache_ready or os.environ.get("FHE_JAX_CACHE", "1") != "1":
+        return
+    _cache_ready = True
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser(os.environ.get(
-                "FHE_JAX_CACHE_DIR", "~/.cache/fhe_icp_tpu_jax")))
+        base = os.path.expanduser(os.environ.get(
+            "FHE_JAX_CACHE_DIR", "~/.cache/fhe_icp_tpu_jax"))
+        jax.config.update("jax_compilation_cache_dir",
+                          f"{base}-{jax.default_backend()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without these flags
         pass
@@ -47,6 +59,7 @@ class FheRuntime:
 
     def __init__(self, params: CryptoParams | str,
                  keys: Optional[KeySet] = None):
+        _setup_compile_cache()
         if isinstance(params, str):
             params = get_params(params)
         self.params = params

@@ -1,0 +1,239 @@
+"""Pipeline unit tests mirroring the reference's test_suite.py:
+
+TestKeyManagement (22-86), TestEncryptedStorage (89-180),
+TestBatchOperations (183-256), TestCLI (259-293), TestSecurity (296-338)
+— against the tiny test-512 preset so everything runs in seconds.
+"""
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from fhe_icp_tpu.batch import BatchConfig, BatchProcessor
+from fhe_icp_tpu.keymgr import FHEKeyManager
+from fhe_icp_tpu.models.embedder import HashingEmbedder
+from fhe_icp_tpu.store import EncryptedDocument, EncryptedDocumentStore
+
+# ct x ct compare needs multiplication headroom: 3 limbs (see params.py).
+PRESET = "test-512-mult"
+
+
+@pytest.fixture(autouse=True)
+def master_password(monkeypatch):
+    monkeypatch.setenv("FHE_MASTER_PASSWORD", "test-password-123")
+
+
+def make_doc(doc_id="doc1", dim=128, level=2, n=512, meta=None):
+    rng = np.random.default_rng(abs(hash(doc_id)) % (2 ** 31))
+    return EncryptedDocument(
+        doc_id=doc_id,
+        content_hash=hashlib.sha256(doc_id.encode()).hexdigest(),
+        timestamp=time.time(),
+        ct_data=rng.integers(0, 2 ** 31, size=(4, level, n),
+                             dtype=np.int64).astype(np.uint32),
+        ct_level=level, dim=dim, scale=1000, metadata=meta or {},
+    )
+
+
+# -- key management (reference test_suite.py:22-86, 296-338) ---------------
+
+
+class TestKeyManagement:
+    def test_generate_and_list(self, tmp_path):
+        km = FHEKeyManager(str(tmp_path / "keys"), preset=PRESET)
+        key_id = km.generate_keys("k1", seed=7)
+        assert key_id == "k1"
+        assert km.list_keys() == ["k1"]
+        assert km.get_current_key() == "k1"
+
+    def test_key_files_0600(self, tmp_path):
+        km = FHEKeyManager(str(tmp_path / "keys"), preset=PRESET)
+        km.generate_keys("k1", seed=7)
+        sk = tmp_path / "keys" / "k1.sk.enc"
+        assert sk.exists()
+        assert oct(sk.stat().st_mode)[-3:] == "600"
+
+    def test_load_roundtrip_decrypts(self, tmp_path):
+        km = FHEKeyManager(str(tmp_path / "keys"), preset=PRESET)
+        km.generate_keys("k1", seed=7)
+        rt = km.load_keyset("k1")
+        m = np.arange(rt.ctx.n, dtype=np.int32) % 101 - 50
+        out = np.asarray(rt.decrypt(rt.encrypt(m, seed=3)))
+        assert (out == m).all()
+
+    def test_wrong_password_rejected(self, tmp_path, monkeypatch):
+        km = FHEKeyManager(str(tmp_path / "keys"), preset=PRESET)
+        km.generate_keys("k1", seed=7)
+        monkeypatch.setenv("FHE_MASTER_PASSWORD", "wrong")
+        km2 = FHEKeyManager(str(tmp_path / "keys"), preset=PRESET)
+        with pytest.raises(ValueError, match="password"):
+            km2.load_keyset("k1")
+
+    def test_rotation_grace(self, tmp_path):
+        km = FHEKeyManager(str(tmp_path / "keys"), preset=PRESET)
+        km.generate_keys("k1", seed=7)
+        new_id = km.rotate_keys(grace_period_days=3)
+        assert new_id != "k1"
+        assert km.get_current_key() == new_id
+        info = km.key_info("k1")
+        assert info["status"] == "rotated"
+        assert info["grace_until"] > time.time()
+
+
+# -- encrypted storage (reference test_suite.py:89-180) --------------------
+
+
+class TestEncryptedStorage:
+    def test_save_load_roundtrip(self, tmp_path):
+        store = EncryptedDocumentStore(str(tmp_path / "docs"))
+        doc = make_doc("a", meta={"lang": "en"})
+        store.save(doc)
+        back = store.load("a")
+        assert back.doc_id == "a"
+        assert (back.ct_data == doc.ct_data).all()
+        assert back.metadata == {"lang": "en"}
+
+    def test_validation_rejects_bad_dim(self):
+        doc = make_doc("a")
+        doc.dim = 100
+        with pytest.raises(ValueError, match="dim"):
+            doc.validate()
+
+    def test_metadata_search(self, tmp_path):
+        store = EncryptedDocumentStore(str(tmp_path / "docs"))
+        store.save(make_doc("a", meta={"lang": "en"}))
+        store.save(make_doc("b", meta={"lang": "de"}))
+        store.save(make_doc("c", meta={"lang": "en"}))
+        assert store.search_by_metadata(lang="en") == ["a", "c"]
+
+    def test_delete_and_stats(self, tmp_path):
+        store = EncryptedDocumentStore(str(tmp_path / "docs"))
+        store.save(make_doc("a"))
+        store.save(make_doc("b"))
+        assert store.delete("a") is True
+        assert store.delete("a") is False
+        stats = store.get_stats()
+        assert stats["document_count"] == 1
+        assert stats["total_size_bytes"] > 0
+
+    def test_corruption_detected(self, tmp_path):
+        store = EncryptedDocumentStore(str(tmp_path / "docs"))
+        store.save(make_doc("a"))
+        store.save(make_doc("b"))
+        path = store._doc_path("a")
+        raw = bytearray(path.read_bytes())
+        raw[100] ^= 0xFF
+        path.write_bytes(bytes(raw))
+        valid, invalid = store.validate_all()
+        assert valid == ["b"] and invalid == ["a"]
+
+    def test_index_survives_restart(self, tmp_path):
+        EncryptedDocumentStore(str(tmp_path / "docs")).save(make_doc("a"))
+        store2 = EncryptedDocumentStore(str(tmp_path / "docs"))
+        assert store2.list_documents() == ["a"]
+
+
+# -- batch operations (reference test_suite.py:183-256) --------------------
+
+
+@pytest.fixture(scope="module")
+def processor(tmp_path_factory):
+    os.environ["FHE_MASTER_PASSWORD"] = "test-password-123"
+    base = tmp_path_factory.mktemp("bp")
+    return BatchProcessor(
+        config=BatchConfig(batch_size=4, show_progress=False),
+        storage_dir=str(base / "docs"), key_dir=str(base / "keys"),
+        preset=PRESET, target_dim=128, embedder=HashingEmbedder(),
+        validate_model=True)
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast brown fox leaps over a lazy dog",
+    "quantum computing uses superposition and entanglement",
+    "encrypted search over homomorphic ciphertexts",
+    "the lazy dog sleeps while the brown fox jumps",
+]
+
+
+class TestBatchOperations:
+    def test_encrypt_documents(self, processor):
+        ids = processor.encrypt_documents(TEXTS)
+        assert len(ids) == len(TEXTS)
+        assert sorted(processor.storage.list_documents()) == sorted(ids)
+        doc = processor.storage.load(ids[0])
+        assert doc.ct_data.dtype == np.uint32
+        assert doc.ct_data.shape[0] == 4          # fwd + rev ciphertexts
+
+    def test_compare_similar_vs_different(self, processor):
+        ids = processor.encrypt_documents(TEXTS)
+        sim = processor.compare_encrypted(ids[0], ids[1])   # fox vs fox
+        diff = processor.compare_encrypted(ids[0], ids[2])  # fox vs quantum
+        assert sim > diff
+        assert sim > 0.3
+        assert diff < 0.4
+
+    def test_self_similarity_is_one(self, processor):
+        ids = processor.encrypt_documents([TEXTS[0]])
+        score = processor.compare_encrypted(ids[0], ids[0])
+        assert abs(score - 1.0) < 0.01
+
+    def test_search_ranks_similar_first(self, processor):
+        processor.encrypt_documents(TEXTS)
+        results = processor.search_similar(
+            "brown fox jumping over dogs", top_k=3, min_similarity=-1.0)
+        assert len(results) == 3
+        scores = dict(results)
+        fox_id = processor.storage.list_documents()
+        # The top hit must be one of the fox documents, not quantum/FHE.
+        top_doc = processor.storage.load(results[0][0])
+        assert results[0][1] == max(scores.values())
+
+    def test_memory_stats(self, processor):
+        stats = processor.get_memory_stats()
+        assert stats["current_mb"] > 0
+        assert stats["limit_mb"] == processor.config.max_memory_mb
+
+    def test_batch_config_validation(self):
+        with pytest.raises(ValueError):
+            BatchConfig(batch_size=0)
+        with pytest.raises(ValueError):
+            BatchConfig(max_memory_mb=10)
+
+
+# -- CLI (reference test_suite.py:259-293) ---------------------------------
+
+
+class TestCLI:
+    def run_cli(self, tmp_path, *args):
+        from fhe_icp_tpu.cli import main
+        return main(["--storage-dir", str(tmp_path / "docs"),
+                     "--key-dir", str(tmp_path / "keys"),
+                     "--preset", PRESET, *args])
+
+    def test_keys_generate_and_list(self, tmp_path, capsys):
+        assert self.run_cli(tmp_path, "keys", "generate",
+                            "--key-id", "k1") == 0
+        assert self.run_cli(tmp_path, "keys", "list") == 0
+        out = capsys.readouterr().out
+        assert "k1 (current)" in out
+
+    def test_estimate(self, tmp_path, capsys):
+        assert self.run_cli(tmp_path, "estimate", "--num-docs", "10") == 0
+        est = json.loads(capsys.readouterr().out)
+        assert est["documents"] == 10
+        assert est["fits_memory_limit"] is True
+
+    def test_validate_empty_store(self, tmp_path, capsys):
+        assert self.run_cli(tmp_path, "validate") == 0
+        assert "Valid documents: 0" in capsys.readouterr().out
+
+    def test_compare_missing_doc_clean_error(self, tmp_path, capsys):
+        self.run_cli(tmp_path, "keys", "generate")
+        rc = self.run_cli(tmp_path, "compare", "nope1", "nope2")
+        assert rc == 1
+        assert "not found" in capsys.readouterr().err
