@@ -227,19 +227,20 @@ class BatchProcessor:
         q_red = self._ensure_reducer(q_emb[None]).transform(q_emb)[0]
         q_int, _ = prepare_embedding_for_fhe(q_red, self.scale)
 
-        docs = [self.storage.load(d) for d in doc_ids]
-        dim = docs[0].dim
-        level = docs[0].ct_level
-        batch = np.stack([d.ct_data[:2] for d in docs])      # (B, 2, L, N)
-        if len(docs) >= 64:
-            # MXU fast path: digit-plane matmul scoring (ops/fastdot.py).
+        first = self.storage.load(doc_ids[0])
+        dim, level = first.dim, first.ct_level
+        if len(doc_ids) >= 64:
+            # MXU fast path: digit-plane matmul scoring (ops/fastdot.py)
+            # over the packed arena index (C++ codec, zero-copy load).
             ctx, sk = self.runtime.ctx, self.runtime.keys.sk
-            doc_op = fastdot.make_doc_operand(ctx, jnp.asarray(batch), level)
+            doc_ids, doc_op = self._search_operands(level)
             q_op = fastdot.make_query_operand(ctx, sk, jnp.asarray(q_int),
                                               dim, level)
             raw = np.asarray(fastdot.scores(ctx, doc_op, q_op),
                              dtype=np.int64)
         else:
+            batch = np.stack([self.storage.load(d).ct_data[:2]
+                              for d in doc_ids])             # (B, 2, L, N)
             cts = Ciphertext(jnp.asarray(batch), level, True)
             raw = np.asarray(
                 self.runtime.decrypt_dot(self.runtime.matvec(cts, q_int), dim),
@@ -249,6 +250,36 @@ class BatchProcessor:
         out = [(doc_ids[i], float(sims[i])) for i in order
                if sims[i] >= min_similarity][:top_k]
         return out
+
+    def _search_operands(self, level: int):
+        """(doc_ids, MXU DocOperand) for the whole store, cached per
+        store-content signature; backed by the packed C++ arena when the
+        native codec is available, per-document loads otherwise."""
+        import jax.numpy as jnp
+        ids = self.storage.list_documents()
+        sig = (tuple(ids), tuple(sorted(
+            (d, e["sha256"]) for d, e in self.storage.index.items())))
+        cached = getattr(self, "_op_cache", None)
+        if cached is not None and cached[0] == sig:
+            return cached[1], cached[2]
+        try:
+            from . import native  # noqa: F401 — probe toolchain
+            arena_ids, view = None, None
+            try:
+                arena_ids, view = self.storage.load_arena()
+            except Exception:
+                pass
+            if arena_ids != ids:
+                arena_ids, _ = self.storage.export_arena()
+                arena_ids, view = self.storage.load_arena()
+            batch = np.asarray(view[:, :2])                 # fwd ciphertexts
+        except Exception:
+            arena_ids = ids
+            batch = np.stack([self.storage.load(d).ct_data[:2] for d in ids])
+        doc_op = fastdot.make_doc_operand(
+            self.runtime.ctx, jnp.asarray(batch), level)
+        self._op_cache = (sig, arena_ids, doc_op)
+        return arena_ids, doc_op
 
     # -- stats (reference batch_operations.py:286-295) ---------------------
     def get_memory_stats(self) -> Dict:

@@ -158,6 +158,39 @@ class EncryptedDocumentStore:
             "storage_dir": str(self.dir),
         }
 
+    # -- packed search index (C++ arena codec, fhe_icp_tpu/native.py) ------
+    def export_arena(self, path=None) -> Tuple[List[str], str]:
+        """Pack every document's ciphertext into one mmap-able arena file.
+
+        Returns (doc_ids in arena order, arena path).  The arena is the
+        production data-loader for the search path: one zero-copy memmap
+        instead of per-document decompression.  Requires the native codec.
+        """
+        from . import native
+        doc_ids = self.list_documents()
+        if not doc_ids:
+            raise ValueError("empty store")
+        docs = [self.load(d) for d in doc_ids]
+        shapes = {d.ct_data.shape for d in docs}
+        if len(shapes) > 1:
+            raise ValueError(f"inhomogeneous ciphertext shapes: {shapes}")
+        arena = np.stack([d.ct_data for d in docs])
+        path = str(path or (self.dir / "search.arena"))
+        native.arena_write(path, arena)
+        (self.dir / "search.arena.ids").write_text(json.dumps(doc_ids))
+        return doc_ids, path
+
+    def load_arena(self, path=None) -> Tuple[List[str], np.ndarray]:
+        """(doc_ids, zero-copy (B, k, L, N) view) from the packed index."""
+        from . import native
+        path = str(path or (self.dir / "search.arena"))
+        doc_ids = json.loads((self.dir / "search.arena.ids").read_text())
+        sample = self.load(doc_ids[0])
+        view = native.arena_mmap(path, sample.ct_data.shape)
+        if len(doc_ids) != view.shape[0]:
+            raise ValueError("arena/id-list length mismatch")
+        return doc_ids, view
+
     def validate_all(self) -> Tuple[List[str], List[str]]:
         """Load + integrity-check every doc -> (valid_ids, invalid_ids)."""
         valid, invalid = [], []

@@ -193,6 +193,23 @@ class TestBatchOperations:
         top_doc = processor.storage.load(results[0][0])
         assert results[0][1] == max(scores.values())
 
+    def test_search_large_store_uses_arena_path(self, processor):
+        """>= 64 docs routes through the MXU + C++-arena index; results
+        must stay consistent with the small-store path."""
+        texts = [f"document number {i} about topic {i % 7}" for i in range(70)]
+        texts[0] = "the amazing brown fox chronicle"
+        processor.encrypt_documents(texts, doc_ids=[f"m{i}" for i in range(70)])
+        results = processor.search_similar("amazing brown fox story",
+                                           top_k=5, min_similarity=-1.0)
+        assert len(results) == 5
+        assert results[0][0] == "m0"
+        if hasattr(processor, "_op_cache"):
+            # Cache hit on a second call with the same store contents.
+            sig = processor._op_cache[0]
+            processor.search_similar("another query", top_k=2,
+                                     min_similarity=-1.0)
+            assert processor._op_cache[0] == sig
+
     def test_memory_stats(self, processor):
         stats = processor.get_memory_stats()
         assert stats["current_mb"] > 0
