@@ -134,24 +134,36 @@ def scores(ctx: CryptoContext, docs: DocOperand, query: QueryOperand,
         preferred_element_type=jnp.int32)
     part = part.reshape(la, 4, bb, 4)                 # (L, i, B, j)
 
-    # Group digit pairs by shift s = i + j (sums stay < 2^31), then fold
-    # mod p: r = sum_s partial_s * 2^{8s}  (Montgomery constant per limb).
+    # Group digit pairs by shift s = i + j, then fold mod p:
+    # r = sum_s partial_s * 2^{8s} (Montgomery constant per limb).  Each
+    # pair partial is bounded by 128*128*K (K = contraction length); cap
+    # the group size so the int32 group sum cannot overflow even in the
+    # adversarial all-|128|-digit case (matters from N=16384 up).
+    k_len = A.shape[-1]
+    max_group = max(1, ((1 << 31) - 1) // (128 * 128 * k_len))
     p = ctx.p[:l, :]                                  # (L, 1)
     pinv = ctx.p_neg_inv[:l, :]
     mu = ctx.mu_p[:l, :]
     acc = None
-    for s in range(2 * N_DIGITS - 1):
-        ps = None
-        for i in range(max(0, s - N_DIGITS + 1), min(N_DIGITS, s + 1)):
-            t = part[:, i, :, s - i]                  # (L, B)
-            ps = t if ps is None else ps + t
+
+    def fold(ps, s):
         neg = ps < 0
         mag = jnp.where(neg, -ps, ps).astype(U32)
         r = barrett_reduce(mag, p, mu)
         r = jnp.where(neg, neg_mod(r, p), r)
         c = jnp.asarray(_shift_consts(ctx, l)[s])[:, None]   # (L, 1)
-        r = mont_mul(r, c, p, pinv)
-        acc = r if acc is None else add_mod(acc, r, p)
+        return mont_mul(r, c, p, pinv)
+
+    for s in range(2 * N_DIGITS - 1):
+        pairs = [part[:, i, :, s - i]                 # (L, B)
+                 for i in range(max(0, s - N_DIGITS + 1),
+                                min(N_DIGITS, s + 1))]
+        for g0 in range(0, len(pairs), max_group):
+            ps = pairs[g0]
+            for t in pairs[g0 + 1: g0 + max_group]:
+                ps = ps + t
+            r = fold(ps, s)
+            acc = r if acc is None else add_mod(acc, r, p)
 
     res = jnp.transpose(acc)[..., None]               # (B, L, 1)
     return rns_decode_centered(ctx, res, l, pt_corr)[..., 0]

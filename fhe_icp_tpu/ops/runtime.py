@@ -58,7 +58,12 @@ class FheRuntime:
     """Jitted FHE operations bound to one parameter set + key set."""
 
     def __init__(self, params: CryptoParams | str,
-                 keys: Optional[KeySet] = None):
+                 keys: Optional[KeySet] = None,
+                 rlk_levels: Optional[list] = None):
+        """`rlk_levels` restricts relinearization-key generation to the
+        listed levels (default: every level >= 2).  ct x pt workloads can
+        pass [] — keygen for a 12-limb ring is dominated by the unrolled
+        per-level digit loops otherwise."""
         _setup_compile_cache()
         if isinstance(params, str):
             params = get_params(params)
@@ -67,7 +72,8 @@ class FheRuntime:
         self.keys = keys
 
         ctx = self.ctx
-        self._keygen = jax.jit(lambda key: keygen(ctx, key))
+        self._keygen = jax.jit(
+            lambda key: keygen(ctx, key, rlk_levels=rlk_levels))
         self._encrypt_sym = jax.jit(
             lambda sk, key, m: encrypt_sym(ctx, sk, key, m))
         self._encrypt_pk = jax.jit(
