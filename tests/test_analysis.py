@@ -57,3 +57,19 @@ def test_memory_monitor_decorator(caplog):
     with caplog.at_level(logging.INFO, logger="fhe_icp_tpu.utils.debug"):
         alloc()
     assert any("alloc:" in r.message for r in caplog.records)
+
+
+def test_reduction_sweep(tmp_path, monkeypatch):
+    import os
+    monkeypatch.chdir(tmp_path)
+    from fhe_icp_tpu.analysis.reduction import make_corpus, run_sweep
+    x = make_corpus(n=128, dim=256)
+    results = run_sweep(corpus=x, target_dims=(32, 128),
+                        out_path=str(tmp_path / "sweep.json"))
+    assert len(results) == 6
+    pca128 = next(r for r in results
+                  if r["method"] == "pca" and r["target_dim"] == 128)
+    assert pca128["similarity_preservation"] > 0.9   # low-rank corpus
+    assert pca128["explained_variance"] > 0.8
+    assert (tmp_path / "sweep.json").exists()
+    assert (tmp_path / "pca_reducer_128.npz").exists()
