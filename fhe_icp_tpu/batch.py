@@ -142,13 +142,48 @@ class BatchProcessor:
 
     def encrypt_documents(self, texts: List[str],
                           doc_ids: Optional[List[str]] = None,
-                          metadata: Optional[List[Dict]] = None) -> List[str]:
+                          metadata: Optional[List[Dict]] = None,
+                          resume: bool = False) -> List[str]:
+        """Embed, reduce, quantize, RLWE-encrypt and store texts.
+
+        With resume=True, documents whose id is already in the store with
+        a matching content hash are skipped — interrupted bulk ingestions
+        restart from where they left off (SURVEY.md §5 checkpoint/resume).
+        """
         if doc_ids is None:
             doc_ids = [f"doc_{hashlib.sha256(t.encode()).hexdigest()[:12]}"
                        for t in texts]
         if metadata is None:
             metadata = [{} for _ in texts]
         assert len(doc_ids) == len(texts) == len(metadata)
+
+        if resume:
+            keep = []
+            skipped = 0
+            for i, doc_id in enumerate(doc_ids):
+                entry = self.storage.index.get(doc_id)
+                if entry is not None:
+                    try:
+                        doc = self.storage.load(doc_id)
+                        if doc.content_hash == hashlib.sha256(
+                                texts[i].encode()).hexdigest():
+                            skipped += 1
+                            continue
+                    except Exception:
+                        pass            # corrupt/missing -> re-encrypt
+                keep.append(i)
+            if skipped:
+                logger.info("resume: skipping %d already-encrypted docs",
+                            skipped)
+            done_pre = [doc_ids[i] for i in range(len(doc_ids))
+                        if i not in set(keep)]
+            texts = [texts[i] for i in keep]
+            metadata = [metadata[i] for i in keep]
+            doc_ids = [doc_ids[i] for i in keep]
+            if not texts:
+                return done_pre
+        else:
+            done_pre = []
 
         iterator = range(0, len(texts), self.config.batch_size)
         if self.config.show_progress:
@@ -195,7 +230,7 @@ class BatchProcessor:
                     and len(done) % self.config.checkpoint_interval == 0):
                 gc.collect()
         logger.info("encrypted %d documents", len(done))
-        return done
+        return done_pre + done
 
     # -- encrypted compare (REAL ct x ct, unlike the reference) ------------
     def _split_ct(self, doc: EncryptedDocument) -> Tuple[Ciphertext, Ciphertext]:

@@ -210,6 +210,21 @@ class TestBatchOperations:
                                      min_similarity=-1.0)
             assert processor._op_cache[0] == sig
 
+    def test_resume_skips_already_encrypted(self, processor):
+        ids = [f"r{i}" for i in range(3)]
+        texts = [f"resume test document {i}" for i in range(3)]
+        first = processor.encrypt_documents(texts, doc_ids=ids)
+        before = {d: processor.storage.index[d]["sha256"] for d in ids}
+        again = processor.encrypt_documents(texts, doc_ids=ids, resume=True)
+        assert sorted(again) == sorted(ids)
+        after = {d: processor.storage.index[d]["sha256"] for d in ids}
+        assert before == after            # untouched, not re-encrypted
+        # Changed content re-encrypts under resume.
+        texts[1] = "resume test document 1 CHANGED"
+        processor.encrypt_documents(texts, doc_ids=ids, resume=True)
+        assert processor.storage.index["r1"]["sha256"] != before["r1"]
+        assert processor.storage.index["r0"]["sha256"] == before["r0"]
+
     def test_memory_stats(self, processor):
         stats = processor.get_memory_stats()
         assert stats["current_mb"] > 0
