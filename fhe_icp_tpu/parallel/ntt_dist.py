@@ -165,47 +165,58 @@ def _row_ntt(plan: DistNttPlan, x, inverse: bool):
     return jnp.transpose(out, (1, 0, 2))
 
 
-def dist_ntt_fwd_shard(plan: DistNttPlan, x, psi, psi_sh, tw, tw_sh):
+def _xla_a2a(x, split_axis, concat_axis, n_dev):
+    return jax.lax.all_to_all(x, SP_AXIS, split_axis=split_axis,
+                              concat_axis=concat_axis, tiled=True)
+
+
+def _pallas_a2a(x, split_axis, concat_axis, n_dev):
+    from .ici import pallas_all_to_all
+    return pallas_all_to_all(x, SP_AXIS, split_axis, concat_axis, n_dev)
+
+
+def dist_ntt_fwd_shard(plan: DistNttPlan, a2a, n_dev, x, psi, psi_sh,
+                       tw, tw_sh):
     """Forward shard body.  x: (L, N1/D, N2) rows-shard; tables sharded
     to match each step's layout (twist: rows-shard; twiddle: cols-shard)."""
     p = plan.p_col
     x = shoup_mul(x, psi, psi_sh, p)                       # twist (local)
-    x = jax.lax.all_to_all(x, SP_AXIS, split_axis=2, concat_axis=1,
-                           tiled=True)                     # -> (L,N1,N2/D)
+    x = a2a(x, 2, 1, n_dev)                                # -> (L,N1,N2/D)
     x = _col_ntt(plan, x, inverse=False)
     x = shoup_mul(x, tw, tw_sh, p)                         # twiddle (local)
-    x = jax.lax.all_to_all(x, SP_AXIS, split_axis=1, concat_axis=2,
-                           tiled=True)                     # -> (L,N1/D,N2)
+    x = a2a(x, 1, 2, n_dev)                                # -> (L,N1/D,N2)
     return _row_ntt(plan, x, inverse=False)
 
 
-def dist_ntt_inv_shard(plan: DistNttPlan, y, psi_inv_n, psi_inv_n_sh,
-                       tw_inv, tw_inv_sh):
+def dist_ntt_inv_shard(plan: DistNttPlan, a2a, n_dev, y, psi_inv_n,
+                       psi_inv_n_sh, tw_inv, tw_inv_sh):
     """Inverse shard body (mirror of the forward sequence)."""
     p = plan.p_col
     y = _row_ntt(plan, y, inverse=True)
-    y = jax.lax.all_to_all(y, SP_AXIS, split_axis=2, concat_axis=1,
-                           tiled=True)                     # -> (L,N1,N2/D)
+    y = a2a(y, 2, 1, n_dev)                                # -> (L,N1,N2/D)
     y = shoup_mul(y, tw_inv, tw_inv_sh, p)
     y = _col_ntt(plan, y, inverse=True)
-    y = jax.lax.all_to_all(y, SP_AXIS, split_axis=1, concat_axis=2,
-                           tiled=True)                     # -> (L,N1/D,N2)
+    y = a2a(y, 1, 2, n_dev)                                # -> (L,N1/D,N2)
     return shoup_mul(y, psi_inv_n, psi_inv_n_sh, p)
 
 
-def make_dist_ntt(plan: DistNttPlan, mesh):
+def make_dist_ntt(plan: DistNttPlan, mesh, exchange: str = "xla"):
     """jitted (fwd, inv) over mesh axis 'sp'.
 
     Operands are (L, N1, N2) matrices sharded on axis 1 (i1 rows).
+    exchange: "xla" (lax.all_to_all collective) or "pallas" (hand-written
+    remote-DMA kernel, parallel/ici.py).
     """
     row_spec = jax.sharding.PartitionSpec(None, SP_AXIS, None)
     col_spec = jax.sharding.PartitionSpec(None, None, SP_AXIS)
     shmap = partial(jax.shard_map, mesh=mesh, check_vma=False)
+    n_dev = mesh.shape[SP_AXIS]
+    a2a = {"xla": _xla_a2a, "pallas": _pallas_a2a}[exchange]
 
-    fwd = shmap(partial(dist_ntt_fwd_shard, plan),
+    fwd = shmap(partial(dist_ntt_fwd_shard, plan, a2a, n_dev),
                 in_specs=(row_spec, row_spec, row_spec, col_spec, col_spec),
                 out_specs=row_spec)
-    inv = shmap(partial(dist_ntt_inv_shard, plan),
+    inv = shmap(partial(dist_ntt_inv_shard, plan, a2a, n_dev),
                 in_specs=(row_spec, row_spec, row_spec, col_spec, col_spec),
                 out_specs=row_spec)
 

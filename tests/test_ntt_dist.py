@@ -123,3 +123,23 @@ def test_matches_single_chip_convolution():
     single = np.asarray(ntt_inv(
         splan, mont_mul(fa, to_mont(fb, p2, pi2, r22), p2, pi2)))
     assert (dist == single).all()
+
+
+def test_pallas_exchange_matches_xla():
+    """The hand-written remote-DMA all-to-all (interpret mode on CPU) and
+    the XLA collective produce identical transforms."""
+    n, n1 = 256, 16
+    primes = pr.ntt_primes(2, bits=31)
+    plan = build_dist_plan(n, primes, n1=n1)
+    mesh = sp_mesh()
+    fwd_x, inv_x = make_dist_ntt(plan, mesh, exchange="xla")
+    fwd_p, inv_p = make_dist_ntt(plan, mesh, exchange="pallas")
+    x = np.stack([RNG.integers(0, p, size=n, dtype=np.uint32)
+                  for p in primes]).reshape(2, plan.n1, plan.n2)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, SP_AXIS, None))
+    xd = jax.device_put(jnp.asarray(x), spec)
+    fx = np.asarray(fwd_x(xd))
+    fp = np.asarray(fwd_p(xd))
+    assert (fx == fp).all()
+    assert (np.asarray(inv_p(fwd_p(xd))) == x).all()
