@@ -65,6 +65,21 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     ops_per_s = batch * steps / dt
+
+    # Roofline accounting on stderr (stdout carries ONLY the JSON line).
+    import sys
+    ct_bytes = doc_op.digits.size                    # int8: 1 byte/elem
+    eff_gbs = ct_bytes * steps / dt / 1e9
+    try:
+        from fhe_icp_tpu.utils.profiling import hbm_spec_gbs
+        spec = hbm_spec_gbs()
+        note = (f" = {eff_gbs / spec:.0%} of {spec:.0f} GB/s HBM spec"
+                if spec else "")
+        print(f"[roofline] scoring reads {eff_gbs:.0f} GB/s{note}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[roofline] unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "encrypted_dot_products_per_s",
         "value": round(ops_per_s, 2),

@@ -1,4 +1,5 @@
 """Analysis modules: linear-math proof, metric correlations, debug utils."""
+import jax
 
 import numpy as np
 
@@ -73,3 +74,20 @@ def test_reduction_sweep(tmp_path, monkeypatch):
     assert pca128["explained_variance"] > 0.8
     assert (tmp_path / "sweep.json").exists()
     assert (tmp_path / "pca_reducer_128.npz").exists()
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+    from fhe_icp_tpu.utils.profiling import Metrics, measure, roofline
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    x = jnp.arange(1 << 16, dtype=jnp.int32)
+    m = measure(f, x, iters=4)
+    assert m["ms"] > 0
+    r = roofline(f, x, bytes_accessed=x.size * 4, items=x.size, iters=4)
+    assert r["gb_per_s"] > 0 and r["items_per_s"] > 0
+
+    reg = Metrics()
+    reg.log("ops_per_s", 123.0, config="test")
+    assert reg.latest("ops_per_s") == 123.0
+    assert "ops_per_s" in reg.to_json()
