@@ -1,9 +1,21 @@
 """Headline benchmark: encrypted dot-products per second on one TPU chip.
 
-Measures the flagship operation behind `compare`/`search` — a batched
-ciphertext x plaintext inner product (NTT-domain matvec) followed by the
-exact RNS decode of the score coefficient — on the `pairwise-4096`
-parameter set (N=4096, 3 x 31-bit RNS limbs, real 128-bit-secure BGV).
+Measures the flagship operation behind `compare`/`search` — slot-packed
+encrypted scoring (ops/pack.py): S = N/d documents per ciphertext, one
+int8 digit matmul per RNS limb with 4S = 128 output columns (full MXU
+lane width), followed by the exact per-slot RNS decode — on the
+`pairwise-4096` parameter set (N=4096, 3 x 31-bit RNS limbs, real
+128-bit-secure BGV).
+
+Timing methodology: the TPU here sits behind a remote tunnel whose
+dispatch is asynchronous and whose `block_until_ready` can return before
+device completion, so naive dispatch-loop timing is unreliable in BOTH
+directions.  Each measured step is therefore chained through a data
+dependency (the previous step's output XORs into the query operand), and
+the run ends with a host readback of the chain's final value — the wall
+clock cannot close before every step has truly executed.  The per-step
+cost is the slope between two chain lengths (min of 3 runs each), which
+cancels the ~30 ms tunnel round-trip.
 
 Prints ONE JSON line:
   {"metric": "encrypted_dot_products_per_s", "value": N, "unit": "ops/s",
@@ -16,6 +28,7 @@ its dev machine (BASELINE.md, SESSION_REPORT.md:84) → ~3.33 dot-products/s.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,57 +38,71 @@ BASELINE_DOT_PER_S = 1.0 / 0.3
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
-    from fhe_icp_tpu.ops import fastdot
+    from fhe_icp_tpu.ops import fastdot, pack
     from fhe_icp_tpu.ops.runtime import FheRuntime
 
-    batch = 8192         # documents scored per step
     dim = 128            # embedding dimension (reference contract)
-    steps = 32           # timed iterations
+    groups = 2048        # packed ciphertexts scored per step
+    c_short, c_long, reps = 8, 64, 3
 
-    rt = FheRuntime("pairwise-4096")
+    rt = FheRuntime("pairwise-4096", rlk_levels=[])
     rt.generate_keys(seed=0)
     ctx, sk = rt.ctx, rt.keys.sk
+    slots = pack.slots_per_ct(ctx.n, dim)          # 32 docs / ciphertext
+    batch = groups * slots                         # 65,536 docs / step
 
     rng = np.random.default_rng(0)
     docs = rng.integers(-1000, 1001, size=(batch, dim)).astype(np.int32)
     query = rng.integers(-1000, 1001, size=(dim,)).astype(np.int32)
 
-    cts = rt.encrypt_vector(docs, seed=1)
+    polys = pack.encode_packed(
+        jnp.asarray(docs.reshape(groups, slots, dim)), ctx.n)
+    ct = rt.encrypt(np.asarray(polys), seed=1)
     doc_op = jax.jit(
-        lambda data: fastdot.make_doc_operand(ctx, data, cts.level))(cts.data)
-    q_op = jax.jit(
-        lambda q: fastdot.make_query_operand(ctx, sk, q, dim, cts.level))(
-            query)
-    step = jax.jit(lambda a, b: fastdot.scores(ctx, a, b))
+        lambda data: fastdot.make_doc_operand(ctx, data, ct.level))(ct.data)
+    q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(query), dim,
+                                          ct.level)
 
-    # Warm-up / compile.
-    out = step(doc_op, q_op)
-    jax.block_until_ready(out)
+    @jax.jit
+    def step(dd, qd, tok):
+        qd = pack.PackedQueryOperand(qd.digits ^ tok.astype(jnp.int8),
+                                     qd.level, qd.d, qd.slots)
+        s = pack.packed_scores(ctx, dd, qd)
+        return (s[0, 0] & 1).astype(jnp.uint32)
 
     # Correctness gate: the benchmark only counts if the math is right.
+    out = jax.jit(lambda a, b: pack.packed_scores(ctx, a, b))(doc_op, q_op)
+    got = np.asarray(out, dtype=np.int64).reshape(-1)
     want = docs.astype(np.int64) @ query.astype(np.int64)
-    got = np.asarray(out, dtype=np.int64)
-    assert (got == want).all(), "encrypted matvec mismatch — bench invalid"
+    assert (got == want).all(), "packed encrypted matvec mismatch — bench invalid"
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = step(doc_op, q_op)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def chain(n_steps: int) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            tok = jnp.uint32(0)
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                tok = step(doc_op, q_op, tok)
+            np.asarray(tok)                        # force full completion
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    ops_per_s = batch * steps / dt
+    chain(2)                                       # warm-up / compile
+    dt = (chain(c_long) - chain(c_short)) / (c_long - c_short)
+    ops_per_s = batch / dt
 
     # Roofline accounting on stderr (stdout carries ONLY the JSON line).
-    import sys
-    ct_bytes = doc_op.digits.size                    # int8: 1 byte/elem
-    eff_gbs = ct_bytes * steps / dt / 1e9
+    ct_bytes = doc_op.digits.size                  # int8: 1 byte/elem
+    eff_gbs = ct_bytes / dt / 1e9
     try:
         from fhe_icp_tpu.utils.profiling import hbm_spec_gbs
         spec = hbm_spec_gbs()
         note = (f" = {eff_gbs / spec:.0%} of {spec:.0f} GB/s HBM spec"
                 if spec else "")
-        print(f"[roofline] scoring reads {eff_gbs:.0f} GB/s{note}",
+        print(f"[roofline] scoring reads {eff_gbs:.0f} GB/s{note}; "
+              f"{dt * 1e3:.3f} ms/step, {slots} docs/ciphertext",
               file=sys.stderr)
     except Exception as e:
         print(f"[roofline] unavailable: {e}", file=sys.stderr)

@@ -29,7 +29,7 @@ import numpy as np
 
 from .keymgr import FHEKeyManager
 from .models.embedder import make_embedder
-from .ops import fastdot
+from .ops import fastdot, pack
 from .models.reduction import DimensionReducer
 from .models.similarity import FHESimilarityModel
 from .ops.cipher import Ciphertext
@@ -265,14 +265,18 @@ class BatchProcessor:
         first = self.storage.load(doc_ids[0])
         dim, level = first.dim, first.ct_level
         if len(doc_ids) >= 64:
-            # MXU fast path: digit-plane matmul scoring (ops/fastdot.py)
+            # MXU fast path: slot-packed digit-matmul scoring (ops/pack.py)
             # over the packed arena index (C++ codec, zero-copy load).
+            # S = N/dim documents share one ciphertext (packed
+            # homomorphically from the stored per-doc ciphertexts), so
+            # per-document HBM traffic drops S-fold and the matmul output
+            # fills the full 128-lane MXU width.
             ctx, sk = self.runtime.ctx, self.runtime.keys.sk
-            doc_ids, doc_op = self._search_operands(level)
-            q_op = fastdot.make_query_operand(ctx, sk, jnp.asarray(q_int),
-                                              dim, level)
-            raw = np.asarray(fastdot.scores(ctx, doc_op, q_op),
-                             dtype=np.int64)
+            doc_ids, doc_op, n_docs = self._search_operands(level)
+            q_op = pack.make_packed_query_operand(
+                ctx, sk, jnp.asarray(q_int), dim, level)
+            raw = np.asarray(pack.packed_scores(ctx, doc_op, q_op),
+                             dtype=np.int64).reshape(-1)[:n_docs]
         else:
             batch = np.stack([self.storage.load(d).ct_data[:2]
                               for d in doc_ids])             # (B, 2, L, N)
@@ -287,16 +291,22 @@ class BatchProcessor:
         return out
 
     def _search_operands(self, level: int):
-        """(doc_ids, MXU DocOperand) for the whole store, cached per
-        store-content signature; backed by the packed C++ arena when the
-        native codec is available, per-document loads otherwise."""
+        """(doc_ids, packed MXU DocOperand, n_docs) for the whole store,
+        cached per store-content signature; backed by the packed C++ arena
+        when the native codec is available, per-document loads otherwise.
+
+        The per-doc fwd ciphertexts are slot-packed homomorphically
+        (pack.pack_ciphertexts — noise-free monomial multiplies + adds),
+        so the cached operand is S = N/dim times smaller than the store.
+        """
+        import jax
         import jax.numpy as jnp
         ids = self.storage.list_documents()
         sig = (tuple(ids), tuple(sorted(
             (d, e["sha256"]) for d, e in self.storage.index.items())))
         cached = getattr(self, "_op_cache", None)
         if cached is not None and cached[0] == sig:
-            return cached[1], cached[2]
+            return cached[1], cached[2], cached[3]
         try:
             from . import native  # noqa: F401 — probe toolchain
             arena_ids, view = None, None
@@ -311,10 +321,13 @@ class BatchProcessor:
         except Exception:
             arena_ids = ids
             batch = np.stack([self.storage.load(d).ct_data[:2] for d in ids])
-        doc_op = fastdot.make_doc_operand(
-            self.runtime.ctx, jnp.asarray(batch), level)
-        self._op_cache = (sig, arena_ids, doc_op)
-        return arena_ids, doc_op
+        ctx = self.runtime.ctx
+        packed = jax.jit(
+            lambda b: pack.pack_ciphertexts(ctx, b, self.target_dim, level)
+        )(jnp.asarray(batch))
+        doc_op = fastdot.make_doc_operand(ctx, packed, level)
+        self._op_cache = (sig, arena_ids, doc_op, len(arena_ids))
+        return arena_ids, doc_op, len(arena_ids)
 
     # -- stats (reference batch_operations.py:286-295) ---------------------
     def get_memory_stats(self) -> Dict:

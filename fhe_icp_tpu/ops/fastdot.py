@@ -119,27 +119,19 @@ def make_query_operand(ctx: CryptoContext, sk: SecretKey, q_int,
     return QueryOperand(jnp.transpose(dig, (0, 2, 1)), l, d)
 
 
-def scores(ctx: CryptoContext, docs: DocOperand, query: QueryOperand,
-           pt_corr: int = 1):
-    """(B,) int32 exact dot-product scores of every doc against the query."""
-    l = docs.level
-    assert query.level == l
-    A = docs.digits                                   # (L, 4, B, 2N)
-    V = query.digits                                  # (L, 4, 2N)
-    la, bb = A.shape[0], A.shape[2]
-    # One int8 matmul: contract 2N, batch L -> (L, 4B, 4) int32, exact.
-    part = jax.lax.dot_general(
-        A.reshape(la, 4 * bb, -1), jnp.swapaxes(V, 1, 2),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)
-    part = part.reshape(la, 4, bb, 4)                 # (L, i, B, j)
+def fold_digit_products(ctx: CryptoContext, part, l: int, k_len: int):
+    """Fold digit-pair matmul partials back into residues mod p.
 
-    # Group digit pairs by shift s = i + j, then fold mod p:
-    # r = sum_s partial_s * 2^{8s} (Montgomery constant per limb).  Each
-    # pair partial is bounded by 128*128*K (K = contraction length); cap
-    # the group size so the int32 group sum cannot overflow even in the
-    # adversarial all-|128|-digit case (matters from N=16384 up).
-    k_len = A.shape[-1]
+    part: (L, 4, M, 4) int32 — partial sums for digit pair (i, j) of M
+    outputs.  Returns (L, M) uint32 residues of
+    sum_{i,j} part[i, j] * 2^{8(i+j)} mod p_limb.
+
+    Digit pairs group by shift s = i + j, then fold mod p:
+    r = sum_s partial_s * 2^{8s} (Montgomery constant per limb).  Each
+    pair partial is bounded by 128*128*K (K = contraction length); the
+    group size is capped so the int32 group sum cannot overflow even in
+    the adversarial all-|128|-digit case (matters from N=16384 up).
+    """
     max_group = max(1, ((1 << 31) - 1) // (128 * 128 * k_len))
     p = ctx.p[:l, :]                                  # (L, 1)
     pinv = ctx.p_neg_inv[:l, :]
@@ -155,7 +147,7 @@ def scores(ctx: CryptoContext, docs: DocOperand, query: QueryOperand,
         return mont_mul(r, c, p, pinv)
 
     for s in range(2 * N_DIGITS - 1):
-        pairs = [part[:, i, :, s - i]                 # (L, B)
+        pairs = [part[:, i, :, s - i]                 # (L, M)
                  for i in range(max(0, s - N_DIGITS + 1),
                                 min(N_DIGITS, s + 1))]
         for g0 in range(0, len(pairs), max_group):
@@ -164,7 +156,24 @@ def scores(ctx: CryptoContext, docs: DocOperand, query: QueryOperand,
                 ps = ps + t
             r = fold(ps, s)
             acc = r if acc is None else add_mod(acc, r, p)
+    return acc
 
+
+def scores(ctx: CryptoContext, docs: DocOperand, query: QueryOperand,
+           pt_corr: int = 1):
+    """(B,) int32 exact dot-product scores of every doc against the query."""
+    l = docs.level
+    assert query.level == l
+    A = docs.digits                                   # (L, 4, B, 2N)
+    V = query.digits                                  # (L, 4, 2N)
+    la, bb = A.shape[0], A.shape[2]
+    # One int8 matmul: contract 2N, batch L -> (L, 4B, 4) int32, exact.
+    part = jax.lax.dot_general(
+        A.reshape(la, 4 * bb, -1), jnp.swapaxes(V, 1, 2),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    part = part.reshape(la, 4, bb, 4)                 # (L, i, B, j)
+    acc = fold_digit_products(ctx, part, l, A.shape[-1])
     res = jnp.transpose(acc)[..., None]               # (B, L, 1)
     return rns_decode_centered(ctx, res, l, pt_corr)[..., 0]
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dot as fhe_dot
-from ..ops import fastdot
+from ..ops import fastdot, pack
 from ..ops.cipher import Ciphertext
 from ..ops.context import CryptoContext
 from .mesh import DP_AXIS, batch_sharding, replicated
@@ -80,6 +80,35 @@ def make_sharded_fastdot_search(ctx: CryptoContext, mesh, top_k: int = 5,
         scores = fastdot.scores(ctx, docs, q, pt_corr)     # (B,) int32
         vals, idx = jax.lax.top_k(scores, top_k)
         return scores, vals, idx
+
+    return jax.jit(partial(step, level=ctx.n_limbs),
+                   in_shardings=(ds, rep), out_shardings=(rep, rep, rep))
+
+
+def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
+                               top_k: int = 5, pt_corr: int = 1):
+    """Slot-packed MXU search sharded over the document (group) axis.
+
+    Returns fn(doc_digits (L, 4, G, 2N) i8, query_digits (L, 4, 2N, S) i8)
+    -> (scores (G*S,) i32, topk_vals (k,) i32, topk_idx (k,) i32).
+
+    Each packed ciphertext holds S = N/d documents (ops/pack.py), so a
+    shard of G/n_dp groups scores S times more documents per byte than
+    the per-doc path; the per-chip matmul output is 4S = 128 columns —
+    the full MXU lane width.  Top-k merges over the all-gathered flat
+    score vector, O(B) int32.
+    """
+    ds = doc_operand_sharding(mesh)
+    rep = replicated(mesh)
+    slots = pack.slots_per_ct(ctx.n, d)
+
+    def step(doc_digits, query_digits, level: int):
+        docs = fastdot.DocOperand(doc_digits, level)
+        q = pack.PackedQueryOperand(query_digits, level, d, slots)
+        scores = pack.packed_scores(ctx, docs, q, pt_corr)   # (G, S)
+        flat = scores.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, top_k)
+        return flat, vals, idx
 
     return jax.jit(partial(step, level=ctx.n_limbs),
                    in_shardings=(ds, rep), out_shardings=(rep, rep, rep))

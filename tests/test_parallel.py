@@ -73,6 +73,28 @@ def test_sharded_fastdot_search_exact(rt):
     assert (truth[np.asarray(idx)] == truth[order]).all()
 
 
+def test_sharded_packed_search_exact(rt):
+    """Slot-packed sharded search: S docs/ciphertext, exact scores + top-k."""
+    from fhe_icp_tpu.ops import pack
+    from fhe_icp_tpu.parallel.search import make_sharded_packed_search
+
+    d, k = 64, 5
+    ctx, sk = rt.ctx, rt.keys.sk
+    slots = pack.slots_per_ct(ctx.n, d)            # 8 at N=512
+    batch = 8 * slots                              # one group per device
+    mesh = make_mesh(8, shape=(8, 1))
+    docs, q, cts, truth = _docs_query(rt, batch, d)
+    packed = pack.pack_ciphertexts(ctx, cts.data, d, cts.level)
+    doc_op = fastdot.make_doc_operand(ctx, packed, cts.level)
+    q_op = pack.make_packed_query_operand(ctx, sk, q, d, cts.level)
+    step = make_sharded_packed_search(ctx, mesh, d=d, top_k=k)
+    digits = jax.device_put(doc_op.digits, doc_operand_sharding(mesh))
+    scores, vals, idx = step(digits, q_op.digits)
+    assert (np.asarray(scores, np.int64)[:batch] == truth).all()
+    order = np.argsort(-truth)[:k]
+    assert (np.asarray(vals, np.int64) == truth[order]).all()
+
+
 def test_sharded_matches_single_device(rt):
     """The sharded program and the single-device path agree bit-for-bit."""
     d, batch = 128, 8
