@@ -95,6 +95,29 @@ def mul_ct(ctx: CryptoContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
                       a.pt_corr * b.pt_corr % ctx.t)
 
 
+def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
+    """Accumulate sum_j digit_j(c) * ksk[j] -> (d0, d1) NTT-domain polys.
+
+    c_ntt: (..., l, N) NTT-domain poly whose key component is being
+    switched; ksk: (l, 2, l, N) Montgomery keyswitch key
+    (cipher.gadget_keyswitch_key).  The CRT-idempotent gadget digits are
+    the coefficient-domain limbs of c, each broadcast/reduced to all
+    limbs and re-NTT'd.
+    """
+    p, pinv, mu = ctx.lp(l), ctx.lpinv(l), ctx.mu_p[:l]
+    c_coeff = ntt_inv(ctx.plan, c_ntt)
+    acc0 = acc1 = None
+    for j in range(l):
+        d_j = c_coeff[..., j, :][..., None, :]        # (..., 1, N) u32 < p_j
+        d_res = barrett_reduce(d_j, p, mu)            # (..., l, N)
+        d_ntt = ntt_fwd(ctx.plan, d_res)
+        t0 = mont_mul(d_ntt, ksk[j, 0], p, pinv)
+        t1 = mont_mul(d_ntt, ksk[j, 1], p, pinv)
+        acc0 = t0 if acc0 is None else add_mod(acc0, t0, p)
+        acc1 = t1 if acc1 is None else add_mod(acc1, t1, p)
+    return acc0, acc1
+
+
 def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
     """Degree-2 -> degree-1 via the CRT-idempotent gadget.
 
@@ -105,16 +128,10 @@ def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
     assert ct.k == 3 and ct.is_ntt
     l = ct.level
     rk = rlk_keys[l]                       # (l, 2, l, N), Montgomery form
-    p, pinv, mu = ctx.lp(l), ctx.lpinv(l), ctx.mu_p[:l]
-    c2_coeff = ntt_inv(ctx.plan, ct.data[..., 2, :, :])
-    acc0 = ct.data[..., 0, :, :]
-    acc1 = ct.data[..., 1, :, :]
-    for j in range(l):
-        d_j = c2_coeff[..., j, :][..., None, :]       # (..., 1, N) u32 < p_j
-        d_res = barrett_reduce(d_j, p, mu)            # (..., l, N)
-        d_ntt = ntt_fwd(ctx.plan, d_res)
-        acc0 = add_mod(acc0, mont_mul(d_ntt, rk[j, 0], p, pinv), p)
-        acc1 = add_mod(acc1, mont_mul(d_ntt, rk[j, 1], p, pinv), p)
+    p = ctx.lp(l)
+    d0, d1 = gadget_keyswitch_apply(ctx, rk, ct.data[..., 2, :, :], l)
+    acc0 = add_mod(ct.data[..., 0, :, :], d0, p)
+    acc1 = add_mod(ct.data[..., 1, :, :], d1, p)
     return Ciphertext(jnp.stack([acc0, acc1], axis=-3), l, True, ct.pt_corr)
 
 

@@ -150,6 +150,32 @@ def _payload_residues(ctx, e, m_res, l: int):
     return add_mod(te, m_res, ctx.lp(l)) if m_res is not None else te
 
 
+def gadget_keyswitch_key(ctx: CryptoContext, key, s_ntt_mont,
+                         target_ntt, lv: int):
+    """(lv, 2, lv, N) uint32 Montgomery: keyswitch key to secret s.
+
+    Digit j is a symmetric encryption under s of E_j * target, where E_j
+    is the CRT idempotent (1 mod p_j, 0 mod p_i) and `target_ntt` is the
+    NTT-domain normal-form poly being switched FROM (s^2 for
+    relinearization, tau_g(s) for Galois rotations).
+    """
+    p_lv, pinv_lv, r2_lv = ctx.lp(lv), ctx.lpinv(lv), ctx.lr2(lv)
+    s_m = s_ntt_mont[:lv]
+    per_digit = []
+    for j in range(lv):
+        key, ka, ke = jax.random.split(key, 3)
+        a_j = sample_uniform(ctx, ka, (), lv)
+        e_j = sample_cbd(ctx, ke, ())
+        b_j = sub_mod(ntt_fwd(ctx.plan, _payload_residues(ctx, e_j, None, lv)),
+                      mont_mul(a_j, s_m, p_lv, pinv_lv), p_lv)
+        # Add E_j * target: residues equal target in limb j, zero elsewhere.
+        limb_mask = (jnp.arange(lv) == j)[:, None]
+        b_j = jnp.where(limb_mask, add_mod(b_j, target_ntt[:lv], p_lv), b_j)
+        per_digit.append(jnp.stack([b_j, a_j]))
+    rk = jnp.stack(per_digit)                      # (lv, 2, lv, N)
+    return to_mont(rk, p_lv, pinv_lv, r2_lv)
+
+
 def keygen(ctx: CryptoContext, key, rlk_levels: Optional[list] = None) -> KeySet:
     """Generate secret, public, and relinearization keys.
 
@@ -175,26 +201,14 @@ def keygen(ctx: CryptoContext, key, rlk_levels: Optional[list] = None) -> KeySet
     as_ntt = mont_mul(a_ntt, s_ntt_mont, ctx.lp(l), ctx.lpinv(l))
     pk = PublicKey(b_ntt=sub_mod(te_ntt, as_ntt, ctx.lp(l)), a_ntt=a_ntt)
 
-    # Relinearization keys per level.
+    # Relinearization keys per level (keyswitch keys for s^2 -> s).
     levels = rlk_levels if rlk_levels is not None else list(range(2, l + 1))
     rlk_keys: Dict[int, jnp.ndarray] = {}
     for lv in levels:
-        p_lv, pinv_lv, r2_lv = ctx.lp(lv), ctx.lpinv(lv), ctx.lr2(lv)
-        s_m = s_ntt_mont[:lv]
-        s2 = mont_mul(s2_ntt_mont[:lv], jnp.uint32(1), p_lv, pinv_lv)  # normal form
-        per_digit = []
-        for j in range(lv):
-            k_rlk, ka, ke = jax.random.split(k_rlk, 3)
-            a_j = sample_uniform(ctx, ka, (), lv)
-            e_j = sample_cbd(ctx, ke, ())
-            b_j = sub_mod(ntt_fwd(ctx.plan, _payload_residues(ctx, e_j, None, lv)),
-                          mont_mul(a_j, s_m, p_lv, pinv_lv), p_lv)
-            # Add E_j * s^2: residues are s^2 in limb j, zero elsewhere.
-            limb_mask = (jnp.arange(lv) == j)[:, None]
-            b_j = jnp.where(limb_mask, add_mod(b_j, s2, p_lv), b_j)
-            per_digit.append(jnp.stack([b_j, a_j]))
-        rk = jnp.stack(per_digit)                      # (lv, 2, lv, N)
-        rlk_keys[lv] = to_mont(rk, p_lv, pinv_lv, r2_lv)
+        k_rlk, k_lv = jax.random.split(k_rlk)
+        s2 = mont_mul(s2_ntt_mont[:lv], jnp.uint32(1),
+                      ctx.lp(lv), ctx.lpinv(lv))       # normal form
+        rlk_keys[lv] = gadget_keyswitch_key(ctx, k_lv, s_ntt_mont, s2, lv)
 
     return KeySet(sk=sk, pk=pk, rlk=RelinKey(keys=rlk_keys))
 

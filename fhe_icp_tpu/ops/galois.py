@@ -1,0 +1,299 @@
+"""Galois automorphisms, rotation keys, and CRT slot (SIMD) packing.
+
+The ring automorphism tau_g: X -> X^g (g odd mod 2N) acts on a BGV
+ciphertext (c0, c1) as (tau c0, tau c1) — an encryption of tau(m) under
+the permuted secret tau(s).  A keyswitch with a Galois key (the gadget
+key for tau_g(s), cipher.gadget_keyswitch_key) returns it to the
+original secret.  In this library's NTT-domain ciphertext layout the
+automorphism is a pure SLOT PERMUTATION: slot m holds the evaluation at
+psi^{e(m)} with e(m) = 2*bitrev(m) + 1, and tau_g moves the evaluation
+at exponent g*e to exponent e — no sign flips, one gather.
+
+Because every preset's plaintext modulus satisfies t ≡ 1 (mod 2N)
+(params.py chooses t ≡ 1 mod 2^16), the plaintext ring Z_t[X]/(X^N+1)
+splits completely into N linear factors: `encode_slots`/`decode_slots`
+pack N independent Z_t values into one plaintext, ct*ct multiplies
+slotwise (SIMD), and `rotate_slots` cyclically rotates the two size-N/2
+slot rows (exponent orbits of g=5 and g=-5).  `dot_ct_ct_slots` computes
+a fully-encrypted inner product as slotwise multiply + log2(N/2)
+rotate-and-sums + one row-flip — the rotation-based alternative to the
+coefficient-packed encoding of ops/encoding.py.
+
+The reference has no analog of any of this — Concrete's TFHE circuits
+expose no automorphisms (the whole L1 layer is opaque, SURVEY.md §2.2);
+slot rotation is a core capability of a complete FHE library.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .arith import gadget_keyswitch_apply
+from .cipher import (Ciphertext, SecretKey, centered_residues,
+                     gadget_keyswitch_key)
+from .context import CryptoContext
+from .modmath import mont_mul, to_mont
+from .ntt import build_plan, ntt_fwd, ntt_inv
+
+
+# ---------------------------------------------------------------------------
+# Slot structure (host-side, cached on the context)
+# ---------------------------------------------------------------------------
+
+
+def _bitrev(n: int) -> np.ndarray:
+    log_n = n.bit_length() - 1
+    out = np.zeros(n, dtype=np.int64)
+    for m in range(n):
+        out[m] = int(format(m, f"0{log_n}b")[::-1], 2)
+    return out
+
+
+def _exponents(ctx: CryptoContext) -> np.ndarray:
+    """e(m) = 2*bitrev(m) + 1: the psi-exponent evaluated in NTT slot m."""
+    key = "galois_exponents"
+    if key not in ctx.cache:
+        ctx.cache[key] = 2 * _bitrev(ctx.n) + 1
+    return ctx.cache[key]
+
+
+def _slot_of_exponent(ctx: CryptoContext) -> Dict[int, int]:
+    key = "galois_slot_of_exp"
+    if key not in ctx.cache:
+        ctx.cache[key] = {int(e): m for m, e in enumerate(_exponents(ctx))}
+    return ctx.cache[key]
+
+
+def auto_perm(ctx: CryptoContext, g: int) -> np.ndarray:
+    """(N,) gather indices: NTT-domain tau_g is out[m] = in[perm[m]].
+
+    Slot m of tau_g(p) is p evaluated at exponent g*e(m), which lives in
+    the input slot whose exponent is g*e(m) mod 2N.
+    """
+    g = g % (2 * ctx.n)
+    assert g % 2 == 1, "Galois element must be odd mod 2N"
+    key = ("galois_perm", g)
+    cached = ctx.cache.get(key)
+    if cached is None:
+        exps = _exponents(ctx)
+        slot_of = _slot_of_exponent(ctx)
+        cached = np.asarray([slot_of[int(g * e % (2 * ctx.n))] for e in exps],
+                            dtype=np.int32)
+        ctx.cache[key] = cached
+    return cached
+
+
+def rotation_group_gen(ctx: CryptoContext) -> int:
+    """Generator of the rotation subgroup: 5 (order N/2 mod 2N)."""
+    return 5
+
+
+def rot_element(ctx: CryptoContext, k: int) -> int:
+    """Galois element for a rotation by k slots within each row."""
+    return pow(rotation_group_gen(ctx), k % (ctx.n // 2), 2 * ctx.n)
+
+
+def flip_element(ctx: CryptoContext) -> int:
+    """Galois element exchanging the two slot rows (g = -1 mod 2N)."""
+    return 2 * ctx.n - 1
+
+
+# ---------------------------------------------------------------------------
+# Automorphism application + Galois keys
+# ---------------------------------------------------------------------------
+
+
+def apply_auto_ntt(ctx: CryptoContext, x, g: int):
+    """tau_g of NTT-domain polys x: (..., L, N) — a slot gather."""
+    perm = jnp.asarray(auto_perm(ctx, g))
+    return jnp.take(x, perm, axis=-1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GaloisKeys:
+    """Keyswitch keys tau_g(s) -> s, per (g, level)."""
+
+    keys: Dict[Tuple[int, int], jnp.ndarray]
+
+    def tree_flatten(self):
+        items = sorted(self.keys.items())
+        return tuple(v for _, v in items), tuple(k for k, _ in items)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(dict(zip(aux, children)))
+
+
+def galois_keygen(ctx: CryptoContext, sk: SecretKey, key, gs,
+                  levels=None) -> GaloisKeys:
+    """Generate Galois keys for the elements `gs` at the given levels."""
+    levels = list(levels) if levels is not None else [ctx.n_limbs]
+    out: Dict[Tuple[int, int], jnp.ndarray] = {}
+    for g in gs:
+        g = g % (2 * ctx.n)
+        for lv in levels:
+            key, k_g = jax.random.split(key)
+            p, pinv = ctx.lp(lv), ctx.lpinv(lv)
+            s_tau = apply_auto_ntt(ctx, sk.s_ntt_mont[:lv], g)
+            s_tau = mont_mul(s_tau, jnp.uint32(1), p, pinv)   # normal form
+            out[(g, lv)] = gadget_keyswitch_key(ctx, k_g, sk.s_ntt_mont,
+                                                s_tau, lv)
+    return GaloisKeys(out)
+
+
+def rotation_keygen(ctx: CryptoContext, sk: SecretKey, key,
+                    levels=None) -> GaloisKeys:
+    """Keys for all power-of-two rotations + the row flip (for
+    rotate-and-sum reductions): log2(N/2) + 1 keys."""
+    gs = [rot_element(ctx, 1 << i)
+          for i in range((ctx.n // 2).bit_length() - 1)]
+    gs.append(flip_element(ctx))
+    return galois_keygen(ctx, sk, key, gs, levels)
+
+
+def apply_galois(ctx: CryptoContext, gkeys: GaloisKeys, ct: Ciphertext,
+                 g: int) -> Ciphertext:
+    """tau_g(ct): permute slots, then keyswitch tau_g(s) -> s."""
+    assert ct.k == 2 and ct.is_ntt
+    g = g % (2 * ctx.n)
+    l = ct.level
+    ksk = gkeys.keys[(g, l)]
+    c0 = apply_auto_ntt(ctx, ct.data[..., 0, :, :], g)
+    c1 = apply_auto_ntt(ctx, ct.data[..., 1, :, :], g)
+    d0, d1 = gadget_keyswitch_apply(ctx, ksk, c1, l)
+    from .modmath import add_mod
+    c0 = add_mod(c0, d0, ctx.lp(l))
+    return Ciphertext(jnp.stack([c0, d1], axis=-3), l, True, ct.pt_corr)
+
+
+def rotate_slots(ctx: CryptoContext, gkeys: GaloisKeys, ct: Ciphertext,
+                 k: int) -> Ciphertext:
+    """Rotate both slot rows left by k (decode_slots[..., j] gets j+k).
+
+    Uses the direct Galois key for 5^k when present; otherwise
+    decomposes k into the available power-of-two hops (rotation_keygen's
+    key set), costing popcount(k) keyswitches.
+    """
+    k = k % (ctx.n // 2)
+    if k == 0:
+        return ct
+    if (rot_element(ctx, k), ct.level) in gkeys.keys:
+        return apply_galois(ctx, gkeys, ct, rot_element(ctx, k))
+    bit = 1
+    while k:
+        if k & 1:
+            ct = apply_galois(ctx, gkeys, ct, rot_element(ctx, bit))
+        k >>= 1
+        bit <<= 1
+    return ct
+
+
+def flip_rows(ctx: CryptoContext, gkeys: GaloisKeys,
+              ct: Ciphertext) -> Ciphertext:
+    """Exchange the two slot rows (complex-conjugation analog)."""
+    return apply_galois(ctx, gkeys, ct, flip_element(ctx))
+
+
+# ---------------------------------------------------------------------------
+# CRT slot packing over Z_t (t ≡ 1 mod 2N: the ring splits completely)
+# ---------------------------------------------------------------------------
+
+
+def _t_plan(ctx: CryptoContext):
+    key = "galois_t_plan"
+    if key not in ctx.cache:
+        ctx.cache[key] = build_plan(ctx.n, (ctx.t,))
+    return ctx.cache[key]
+
+
+def _slot_order(ctx: CryptoContext) -> np.ndarray:
+    """(2, N/2) NTT-slot indices: row r, column j holds the slot whose
+    exponent is (-1)^r * 5^j mod 2N."""
+    key = "galois_slot_order"
+    cached = ctx.cache.get(key)
+    if cached is None:
+        two_n = 2 * ctx.n
+        slot_of = _slot_of_exponent(ctx)
+        half = ctx.n // 2
+        order = np.zeros((2, half), dtype=np.int32)
+        e = 1
+        for j in range(half):
+            order[0, j] = slot_of[e]
+            order[1, j] = slot_of[two_n - e]
+            e = e * 5 % two_n
+        cached = order
+        ctx.cache[key] = cached
+    return cached
+
+
+def decode_slots(ctx: CryptoContext, m):
+    """int32 message poly (..., N) -> (..., 2, N/2) int32 slot values.
+
+    Slot values are centered representatives mod t; slotwise products of
+    two packed plaintexts multiply mod t.
+    """
+    plan = _t_plan(ctx)
+    t = ctx.t_u32[0]
+    res = m.astype(jnp.int32).astype(jnp.uint32)
+    res = jnp.where(m >= 0, res, res + t)[..., None, :]     # (..., 1, N)
+    vals = ntt_fwd(plan, res)[..., 0, :]                    # (..., N)
+    order = jnp.asarray(_slot_order(ctx).reshape(-1))
+    vals = jnp.take(vals, order, axis=-1)
+    vals = vals.reshape(vals.shape[:-1] + (2, ctx.n // 2))
+    return jnp.where(vals > ctx.t_half[0, 0],
+                     jax.lax.bitcast_convert_type(vals - t, jnp.int32),
+                     jax.lax.bitcast_convert_type(vals, jnp.int32))
+
+
+def encode_slots(ctx: CryptoContext, vals):
+    """(..., 2, N/2) int32 slot values -> (..., N) int32 message poly."""
+    plan = _t_plan(ctx)
+    t = ctx.t_u32[0]
+    flat = vals.reshape(vals.shape[:-2] + (ctx.n,))
+    res = flat.astype(jnp.int32).astype(jnp.uint32)
+    res = jnp.where(flat >= 0, res, res + t)
+    # Scatter slot values back to NTT-slot order (inverse permutation).
+    order = _slot_order(ctx).reshape(-1)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(ctx.n, dtype=np.int32)
+    res = jnp.take(res, jnp.asarray(inv), axis=-1)[..., None, :]
+    m = ntt_inv(plan, res)[..., 0, :]                       # (..., N) u32
+    return jnp.where(m > ctx.t_half[0, 0],
+                     jax.lax.bitcast_convert_type(m - t, jnp.int32),
+                     jax.lax.bitcast_convert_type(m, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Rotation-based encrypted inner product (slotwise mul + rotate-and-sum)
+# ---------------------------------------------------------------------------
+
+
+def sum_all_slots(ctx: CryptoContext, gkeys: GaloisKeys,
+                  ct: Ciphertext) -> Ciphertext:
+    """Every slot becomes the sum of all slots: log2(N/2) rotations + flip."""
+    from .arith import add as ct_add
+    half = ctx.n // 2
+    k = 1
+    while k < half:
+        ct = ct_add(ctx, ct, rotate_slots(ctx, gkeys, ct, k))
+        k <<= 1
+    return ct_add(ctx, ct, flip_rows(ctx, gkeys, ct))
+
+
+def dot_ct_ct_slots(ctx: CryptoContext, rlk_keys, gkeys: GaloisKeys,
+                    ct_a: Ciphertext, ct_b: Ciphertext) -> Ciphertext:
+    """Fully encrypted inner product of two slot-packed ciphertexts.
+
+    Slotwise multiply (tensor product + relinearization), then
+    rotate-and-sum; the result ciphertext carries the inner product
+    (mod t) replicated in every slot.
+    """
+    from .arith import mul_ct, relinearize
+    prod = relinearize(ctx, rlk_keys, mul_ct(ctx, ct_a, ct_b))
+    return sum_all_slots(ctx, gkeys, prod)

@@ -173,3 +173,34 @@ class FheRuntime:
 
     def decrypt_dot(self, ct, d: int):
         return self._decrypt_dot(self._require_keys().sk, ct, d)
+
+    # -- Galois rotations / SIMD slots (ops/galois.py) ----------------------
+    def rotation_keys(self, seed: int = 0, levels=None):
+        """Generate (and cache) rotation + row-flip Galois keys."""
+        from . import galois
+        if getattr(self, "_gkeys", None) is None:
+            self._gkeys = galois.rotation_keygen(
+                self.ctx, self._require_keys().sk, jax.random.PRNGKey(seed),
+                levels=levels)
+        return self._gkeys
+
+    def encrypt_slots(self, vals, seed: int = 0):
+        """Encrypt (..., 2, N/2) int32 SIMD slot values."""
+        from . import galois
+        import numpy as np
+        m = np.asarray(galois.encode_slots(self.ctx, jnp.asarray(vals)))
+        return self.encrypt(m, seed=seed)
+
+    def decrypt_slots(self, ct):
+        from . import galois
+        return galois.decode_slots(self.ctx, self.decrypt(ct))
+
+    def rotate_slots(self, ct, k: int):
+        from . import galois
+        return galois.rotate_slots(self.ctx, self.rotation_keys(), ct, k)
+
+    def dot_ct_ct_slots(self, ct_a, ct_b):
+        """Fully encrypted slotwise inner product (rotate-and-sum)."""
+        from . import galois
+        return galois.dot_ct_ct_slots(self.ctx, self._require_keys().rlk.keys,
+                                      self.rotation_keys(), ct_a, ct_b)

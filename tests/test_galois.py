@@ -1,0 +1,137 @@
+"""Galois automorphisms, rotation keys, CRT slot packing (ops/galois.py).
+
+Oracles: coefficient-domain automorphism (X^i -> X^{i*g mod 2N} with the
+negacyclic sign), numpy slot arithmetic mod t.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fhe_icp_tpu.ops import galois
+from fhe_icp_tpu.ops.ntt import ntt_fwd, ntt_inv
+from fhe_icp_tpu.ops.cipher import centered_residues
+from fhe_icp_tpu.ops.runtime import FheRuntime
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.fixture(scope="module")
+def rt():
+    r = FheRuntime("test-512-mult")
+    r.generate_keys(seed=9)
+    return r
+
+
+@pytest.fixture(scope="module")
+def gkeys(rt):
+    return galois.rotation_keygen(rt.ctx, rt.keys.sk, jax.random.PRNGKey(3))
+
+
+def _auto_oracle(p, g, n):
+    """tau_g of an int poly: X^i -> X^{i*g mod 2N}, X^N = -1."""
+    out = np.zeros_like(p)
+    for i in range(n):
+        e = (i * g) % (2 * n)
+        if e < n:
+            out[e] += p[i]
+        else:
+            out[e - n] -= p[i]
+    return out
+
+
+@pytest.mark.parametrize("g", [5, 25, 1023, 2 * 512 - 1])
+def test_ntt_domain_automorphism_matches_oracle(rt, g):
+    ctx = rt.ctx
+    n, l = ctx.n, ctx.n_limbs
+    p = RNG.integers(-1000, 1001, size=(n,)).astype(np.int32)
+    res = centered_residues(ctx, jnp.asarray(p), l)
+    x_ntt = ntt_fwd(ctx.plan, res)
+    y = ntt_inv(ctx.plan, galois.apply_auto_ntt(ctx, x_ntt, g))
+    # back to centered ints via limb 0 (values < p0, possibly negated).
+    p0 = ctx.primes[0]
+    got = np.asarray(y[0], dtype=np.int64)
+    got = np.where(got > p0 // 2, got - p0, got)
+    want = _auto_oracle(p.astype(np.int64), g, n)
+    assert (got == want).all()
+
+
+def test_apply_galois_decrypts_to_automorphism(rt, gkeys):
+    ctx = rt.ctx
+    g = galois.rot_element(ctx, 1)
+    m = RNG.integers(-500, 501, size=(ctx.n,)).astype(np.int32)
+    ct = rt.encrypt(m, seed=21)
+    ct_g = galois.apply_galois(ctx, gkeys, ct, g)
+    got = np.asarray(rt.decrypt(ct_g), dtype=np.int64)
+    want = _auto_oracle(m.astype(np.int64), g, ctx.n)
+    assert (got == want).all()
+
+
+def test_slot_encode_decode_roundtrip(rt):
+    ctx = rt.ctx
+    vals = RNG.integers(-(ctx.t // 2) + 1, ctx.t // 2,
+                        size=(2, ctx.n // 2)).astype(np.int32)
+    m = galois.encode_slots(ctx, jnp.asarray(vals))
+    back = np.asarray(galois.decode_slots(ctx, m))
+    assert (back == vals).all()
+
+
+def _center_t(x, t):
+    r = np.mod(x, t)
+    return np.where(r > t // 2, r - t, r)
+
+
+def test_encrypted_slotwise_multiply(rt):
+    ctx = rt.ctx
+    a = RNG.integers(-1000, 1001, size=(2, ctx.n // 2)).astype(np.int32)
+    b = RNG.integers(-1000, 1001, size=(2, ctx.n // 2)).astype(np.int32)
+    ct_a = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(a))),
+                      seed=31)
+    ct_b = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(b))),
+                      seed=32)
+    prod = rt.mul_ct(ct_a, ct_b)
+    got = np.asarray(galois.decode_slots(ctx, rt.decrypt(prod)),
+                     dtype=np.int64)
+    want = _center_t(a.astype(np.int64) * b.astype(np.int64), ctx.t)
+    assert (got == want).all()
+
+
+def test_rotate_slots_encrypted(rt, gkeys):
+    ctx = rt.ctx
+    vals = RNG.integers(-1000, 1001, size=(2, ctx.n // 2)).astype(np.int32)
+    ct = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(vals))),
+                    seed=41)
+    for k in (1, 2):
+        ct_k = galois.rotate_slots(ctx, gkeys, ct, k)
+        got = np.asarray(galois.decode_slots(ctx, rt.decrypt(ct_k)))
+        want = np.roll(vals, -k, axis=1)        # column j gets column j+k
+        assert (got == want).all(), f"rotation by {k}"
+
+
+def test_flip_rows_encrypted(rt, gkeys):
+    ctx = rt.ctx
+    vals = RNG.integers(-1000, 1001, size=(2, ctx.n // 2)).astype(np.int32)
+    ct = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(vals))),
+                    seed=43)
+    got = np.asarray(galois.decode_slots(
+        ctx, rt.decrypt(galois.flip_rows(ctx, gkeys, ct))))
+    assert (got == vals[::-1]).all()
+
+
+def test_dot_ct_ct_slots(rt, gkeys):
+    """Fully encrypted rotate-and-sum inner product, replicated in slots."""
+    ctx = rt.ctx
+    d = ctx.n                                   # use every slot
+    a = RNG.integers(-30, 31, size=(2, ctx.n // 2)).astype(np.int32)
+    b = RNG.integers(-30, 31, size=(2, ctx.n // 2)).astype(np.int32)
+    ct_a = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(a))),
+                      seed=51)
+    ct_b = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(b))),
+                      seed=52)
+    out = galois.dot_ct_ct_slots(ctx, rt.keys.rlk.keys, gkeys, ct_a, ct_b)
+    got = np.asarray(galois.decode_slots(ctx, rt.decrypt(out)),
+                     dtype=np.int64)
+    want = int(np.sum(a.astype(np.int64) * b.astype(np.int64)))
+    want = _center_t(np.int64(want), ctx.t)
+    assert (got == want).all()
