@@ -26,7 +26,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# Plain Python int (not a jnp scalar): weak-typed literals fold into ops,
+# keeping these functions usable inside Pallas kernels, which reject
+# captured device constants.
+_MASK16 = 0xFFFF
 
 
 def umulhi32(a, b):
