@@ -61,7 +61,8 @@ def main() -> None:
         jnp.asarray(docs.reshape(groups, slots, dim)), ctx.n)
     ct = rt.encrypt(np.asarray(polys), seed=1)
     doc_op = jax.jit(
-        lambda data: fastdot.make_doc_operand(ctx, data, ct.level))(ct.data)
+        lambda data: pack.make_packed_doc_operand(ctx, data, ct.level))(
+            ct.data)
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(query), dim,
                                           ct.level)
 

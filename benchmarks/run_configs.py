@@ -1,0 +1,327 @@
+"""BASELINE.json benchmark configs 1-5, runnable on TPU or CPU.
+
+Each config prints one JSON line and appends to the results list written
+to `benchmarks/results_<backend>.json`.  Every timed computation is
+correctness-gated against an int64 numpy oracle, and timing uses the
+dependency-chain + readback methodology (utils/profiling.measure_chained)
+that stays honest through the remote TPU tunnel.
+
+Configs (BASELINE.json "configs"):
+  1. single pairwise encrypted compare (ct x ct + relinearize + decrypt)
+  2. 32 documents, all-pairs encrypted similarity matrix (32x32 ct x ct)
+  3. encrypted top-k search, 1 query vs 1,024-doc store (slot-packed)
+  4. large ring N=16384, multi-limb, full mul + relin + modswitch chain
+  5. sharded search over a device mesh + weak-scaling efficiency
+     (on the 8-virtual-device CPU mesh this exercises the real pjit
+     sharding path; on a 1-chip TPU it reports the single-shard rate)
+
+Usage:  python benchmarks/run_configs.py [--configs 1,2,3,4,5]
+        (CPU mesh: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = []
+
+
+def emit(rec: dict) -> None:
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def _rng_docs(b, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(-1000, 1001, size=(b, d)).astype(np.int32),
+            rng.integers(-1000, 1001, size=(d,)).astype(np.int32))
+
+
+def config1_single_compare():
+    """One fully encrypted compare: ct x ct dot + relin + exact decode."""
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.ops.cipher import Ciphertext
+    from fhe_icp_tpu.ops import dot as fhe_dot
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    d = 128
+    rt = FheRuntime("pairwise-4096")
+    rt.generate_keys(seed=0)
+    ctx, ks = rt.ctx, rt.keys
+    docs, q = _rng_docs(2, d, seed=1)
+    ct_a = rt.encrypt_vector(docs[0], seed=2)
+    ct_b = rt.encrypt_vector(docs[1], seed=3, rev=True)
+
+    @jax.jit
+    def step(a_data, b_data, tok):
+        a = Ciphertext(a_data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
+        b = Ciphertext(b_data, ctx.n_limbs, True)
+        score = fhe_dot.decrypt_dot(
+            ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, b), d)
+        return (score & 1).astype(jnp.uint32)
+
+    # Correctness gate (tok=0 path).
+    got = int(rt.decrypt_dot(rt.dot_ct_ct(ct_a, ct_b), d))
+    want = int(docs[0].astype(np.int64) @ docs[1].astype(np.int64))
+    assert got == want, "config1 mismatch"
+
+    m = measure_chained(lambda tok: step(ct_a.data, ct_b.data, tok),
+                        c_short=4, c_long=24)
+    emit({"config": 1, "metric": "single_ct_ct_compare_ms",
+          "value": round(m["ms"], 3), "unit": "ms",
+          "ops_per_s": round(1.0 / m["s"], 1)})
+
+
+def config2_allpairs_32():
+    """32-doc all-pairs encrypted similarity matrix (32x32 ct x ct)."""
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.ops.cipher import Ciphertext
+    from fhe_icp_tpu.ops import dot as fhe_dot
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    b, d = 32, 128
+    rt = FheRuntime("pairwise-4096")
+    rt.generate_keys(seed=0)
+    ctx, ks = rt.ctx, rt.keys
+    docs, _ = _rng_docs(b, d, seed=2)
+    t_enc0 = time.perf_counter()
+    ct_fwd = rt.encrypt_vector(docs, seed=5)            # (B, 2, L, N)
+    ct_rev = rt.encrypt_vector(docs, seed=6, rev=True)
+    np.asarray(ct_fwd.data), np.asarray(ct_rev.data)
+    enc_s = time.perf_counter() - t_enc0
+
+    @jax.jit
+    def step(fwd, rev, tok):
+        a = Ciphertext(fwd[:, None] ^ (tok & jnp.uint32(1)),
+                       ctx.n_limbs, True)               # (B, 1, ...)
+        bb = Ciphertext(rev[None, :], ctx.n_limbs, True)  # (1, B, ...)
+        mat = fhe_dot.decrypt_dot(
+            ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, bb), d)
+        return (mat[0, 0] & 1).astype(jnp.uint32)
+
+    @jax.jit
+    def full(fwd, rev):
+        a = Ciphertext(fwd[:, None], ctx.n_limbs, True)
+        bb = Ciphertext(rev[None, :], ctx.n_limbs, True)
+        return fhe_dot.decrypt_dot(
+            ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, bb), d)
+
+    got = np.asarray(full(ct_fwd.data, ct_rev.data), dtype=np.int64)
+    want = docs.astype(np.int64) @ docs.astype(np.int64).T
+    assert (got == want).all(), "config2 mismatch"
+
+    m = measure_chained(lambda tok: step(ct_fwd.data, ct_rev.data, tok),
+                        c_short=2, c_long=10)
+    emit({"config": 2, "metric": "allpairs_32_matrix_ms",
+          "value": round(m["ms"], 2), "unit": "ms",
+          "pairs_per_s": round(b * b / m["s"], 1),
+          "encrypt_64_cts_s_incl_compile": round(enc_s, 3)})
+
+
+def config3_search_1024():
+    """1 query vs 1,024-doc encrypted store: slot-packed matvec + top-k."""
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops import fastdot, pack
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    b, d, k = 1024, 128, 5
+    rt = FheRuntime("pairwise-4096", rlk_levels=[])
+    rt.generate_keys(seed=0)
+    ctx, sk = rt.ctx, rt.keys.sk
+    slots = pack.slots_per_ct(ctx.n, d)
+    docs, q = _rng_docs(b, d, seed=3)
+    polys = pack.encode_packed(
+        jnp.asarray(docs.reshape(b // slots, slots, d)), ctx.n)
+    ct = rt.encrypt(np.asarray(polys), seed=7)
+    doc_op = jax.jit(
+        lambda x: pack.make_packed_doc_operand(ctx, x, ct.level))(ct.data)
+    q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
+                                          ct.level)
+
+    @jax.jit
+    def step(dd, qd, tok):
+        qd = pack.PackedQueryOperand(qd.digits ^ tok.astype(jnp.int8),
+                                     qd.level, qd.d, qd.slots)
+        s = pack.packed_scores(ctx, dd, qd).reshape(-1)
+        vals, idx = jax.lax.top_k(s, k)
+        return (vals[0] & 1).astype(jnp.uint32)
+
+    got = np.asarray(
+        jax.jit(lambda a, b2: pack.packed_scores(ctx, a, b2))(doc_op, q_op),
+        dtype=np.int64).reshape(-1)
+    want = docs.astype(np.int64) @ q.astype(np.int64)
+    assert (got == want).all(), "config3 mismatch"
+
+    m = measure_chained(lambda tok: step(doc_op, q_op, tok))
+    emit({"config": 3, "metric": "search_1024_docs_ms",
+          "value": round(m["ms"], 3), "unit": "ms",
+          "dots_per_s": round(b / m["s"], 1)})
+
+
+def config4_large_ring():
+    """N=16384, 12 limbs: mul + relin + modswitch chain, exact decode."""
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.ops.cipher import Ciphertext
+    from fhe_icp_tpu.ops import arith, dot as fhe_dot
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    d = 128
+    rt = FheRuntime("ring-16384", rlk_levels=[12])
+    rt.generate_keys(seed=0)
+    ctx, ks = rt.ctx, rt.keys
+    docs, _ = _rng_docs(2, d, seed=4)
+    ct_a = rt.encrypt_vector(docs[0], seed=8)
+    ct_b = rt.encrypt_vector(docs[1], seed=9, rev=True)
+
+    @jax.jit
+    def pipeline(a_data, b_data):
+        a = Ciphertext(a_data, ctx.n_limbs, True)
+        b = Ciphertext(b_data, ctx.n_limbs, True)
+        prod = arith.relinearize(ctx, ks.rlk.keys,
+                                 arith.mul_ct(ctx, a, b))
+        prod = arith.mod_switch(ctx, prod)              # drop one limb
+        return fhe_dot.decrypt_dot(ctx, ks.sk, prod, d)
+
+    got = int(pipeline(ct_a.data, ct_b.data))
+    want = int(docs[0].astype(np.int64) @ docs[1].astype(np.int64))
+    assert got == want, "config4 mismatch"
+
+    @jax.jit
+    def step(a_data, b_data, tok):
+        out = pipeline(a_data ^ (tok & jnp.uint32(1)), b_data)
+        return (out & 1).astype(jnp.uint32)
+
+    m = measure_chained(lambda tok: step(ct_a.data, ct_b.data, tok),
+                        c_short=2, c_long=10)
+    emit({"config": 4, "metric": "ring16384_mul_relin_modswitch_ms",
+          "value": round(m["ms"], 2), "unit": "ms"})
+
+
+def config5_sharded_search():
+    """Sharded packed search over the device mesh + weak scaling."""
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops import fastdot, pack
+    from fhe_icp_tpu.ops.params import CryptoParams
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.parallel.mesh import make_mesh
+    from fhe_icp_tpu.parallel.search import (make_sharded_packed_search,
+                                             packed_operand_sharding)
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    n_dev = len(jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        rt = FheRuntime("pairwise-4096", rlk_levels=[])
+        docs_total = 100_000
+    else:
+        rt = FheRuntime(CryptoParams("bench-512", n=512, n_limbs=2,
+                                     allow_insecure=True), rlk_levels=[])
+        docs_total = 8_192
+    rt.generate_keys(seed=0)
+    ctx, sk = rt.ctx, rt.keys.sk
+    d = 128
+    slots = pack.slots_per_ct(ctx.n, d)
+    groups = -(-docs_total // slots)
+    groups += (-groups) % n_dev
+    b = groups * slots
+
+    docs, q = _rng_docs(b, d, seed=5)
+    polys = pack.encode_packed(
+        jnp.asarray(docs.reshape(groups, slots, d)), ctx.n)
+    ct = rt.encrypt(np.asarray(polys), seed=11)
+    doc_op = jax.jit(
+        lambda x: pack.make_packed_doc_operand(ctx, x, ct.level))(ct.data)
+    q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
+                                          ct.level)
+
+    def timed_rate(mesh, digits):
+        step_full = make_sharded_packed_search(ctx, mesh, d=d, top_k=5)
+
+        @jax.jit
+        def step(dd, qd, tok):
+            qd = qd ^ tok.astype(jnp.int8)
+            scores, vals, idx = step_full(dd, qd)
+            return (vals[0] & 1).astype(jnp.uint32)
+
+        # correctness gate
+        scores, vals, idx = step_full(digits, q_op.digits)
+        want = docs.astype(np.int64) @ q.astype(np.int64)
+        got = np.asarray(scores, np.int64)[:b]
+        assert (got == want).all(), "config5 mismatch"
+        m = measure_chained(lambda tok: step(digits, q_op.digits, tok),
+                            c_short=4, c_long=20)
+        return b / m["s"], m["ms"]
+
+    mesh_n = make_mesh(n_dev, shape=(n_dev, 1))
+    dig_n = jax.device_put(doc_op.digits, packed_operand_sharding(mesh_n))
+    rate_n, ms_n = timed_rate(mesh_n, dig_n)
+
+    rec = {"config": 5, "metric": "sharded_search_dots_per_s",
+           "value": round(rate_n, 1), "unit": "ops/s",
+           "devices": n_dev, "docs": b, "ms_per_query": round(ms_n, 3)}
+    if n_dev > 1:
+        # Weak-scaling reference: 1/n of the store on a 1-device mesh.
+        mesh_1 = make_mesh(1, shape=(1, 1))
+        frac = doc_op.digits[:, : doc_op.digits.shape[1] // n_dev]
+        dig_1 = jax.device_put(frac, packed_operand_sharding(mesh_1))
+        step_1 = make_sharded_packed_search(ctx, mesh_1, d=d, top_k=5)
+
+        @jax.jit
+        def s1(dd, qd, tok):
+            scores, vals, idx = step_1(dd, qd ^ tok.astype(jnp.int8))
+            return (vals[0] & 1).astype(jnp.uint32)
+
+        m1 = measure_chained(lambda tok: s1(dig_1, q_op.digits, tok),
+                             c_short=4, c_long=20)
+        rec["one_device_shard_ms"] = round(m1["ms"], 3)
+        if on_tpu:
+            # Real chips: weak-scaling efficiency (1 shard vs n shards
+            # on n chips; 1.0 = perfect).
+            rec["weak_scaling_efficiency"] = round(m1["ms"] / ms_n, 3)
+        else:
+            # Virtual devices share one socket, so n shards can at best
+            # run serially; report partitioning overhead vs that serial
+            # bound (1.0 = sharding costs nothing beyond the compute).
+            rec["sharding_overhead_vs_serial"] = round(
+                ms_n / (n_dev * m1["ms"]), 3)
+    emit(rec)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    import jax
+    wanted = {int(c) for c in args.configs.split(",")}
+    fns = {1: config1_single_compare, 2: config2_allpairs_32,
+           3: config3_search_1024, 4: config4_large_ring,
+           5: config5_sharded_search}
+    for c in sorted(wanted):
+        try:
+            fns[c]()
+        except Exception as e:  # keep going; record the failure
+            emit({"config": c, "error": f"{type(e).__name__}: {e}"})
+    out = Path(__file__).parent / f"results_{jax.default_backend()}.json"
+    out.write_text(json.dumps(RESULTS, indent=2))
+    print(f"# wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

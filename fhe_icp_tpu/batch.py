@@ -325,7 +325,7 @@ class BatchProcessor:
         packed = jax.jit(
             lambda b: pack.pack_ciphertexts(ctx, b, self.target_dim, level)
         )(jnp.asarray(batch))
-        doc_op = fastdot.make_doc_operand(ctx, packed, level)
+        doc_op = pack.make_packed_doc_operand(ctx, packed, level)
         self._op_cache = (sig, arena_ids, doc_op, len(arena_ids))
         return arena_ids, doc_op, len(arena_ids)
 

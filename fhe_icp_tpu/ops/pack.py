@@ -174,6 +174,34 @@ def packed_coeff_weights(ctx: CryptoContext, d: int, slots: int, l: int):
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class PackedDocOperand:
+    """Digit planes of packed ciphertexts: (L, G, 4, 2N).
+
+    The group axis G is OUTERMOST among the merged matmul dims so that
+    sharding G over a device mesh keeps the (L, G*4, 2N) reshape inside
+    packed_scores shard-local — no all-gather of the store.
+    """
+
+    digits: jnp.ndarray
+    level: int = dataclass_field(metadata=dict(static=True))
+
+    @property
+    def groups(self) -> int:
+        return self.digits.shape[1]
+
+
+def make_packed_doc_operand(ctx: CryptoContext, ct_data,
+                            level: int) -> PackedDocOperand:
+    """(G, 2, L, N) u32 packed ciphertexts -> MXU-ready digit planes."""
+    p = ctx.p[:level, :]                              # (L, 1)
+    a = jnp.moveaxis(ct_data, 1, -2)                  # (G, L, 2, N)
+    a = a.reshape(a.shape[:-2] + (2 * ctx.n,))        # (G, L, 2N)
+    dig = balanced_digits(center_residues(a, p))      # (G, L, 2N, 4)
+    return PackedDocOperand(jnp.transpose(dig, (1, 0, 3, 2)), level)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class PackedQueryOperand:
     """Folded per-slot query vectors as digit planes: (L, 4, 2N, S)."""
 
@@ -208,25 +236,27 @@ def make_packed_query_operand(ctx: CryptoContext, sk: SecretKey, q_int,
     return PackedQueryOperand(jnp.transpose(dig, (0, 3, 1, 2)), l, d, slots)
 
 
-def packed_scores(ctx: CryptoContext, docs: DocOperand,
+def packed_scores(ctx: CryptoContext, docs: PackedDocOperand,
                   query: PackedQueryOperand, pt_corr: int = 1):
     """(G, S) int32 exact per-slot scores of packed docs vs the query.
 
     One int8 matmul per limb with 4S output columns (128 at S=32 — full
-    MXU lane width), contracting the 2N ciphertext axis.
+    MXU lane width), contracting the 2N ciphertext axis.  Every reshape
+    keeps the group axis G outermost, so sharding G over a mesh leaves
+    the whole computation shard-local up to the final tiny score vector.
     """
     l = docs.level
     assert query.level == l
-    A = docs.digits                                   # (L, 4, G, 2N)
+    A = docs.digits                                   # (L, G, 4, 2N)
     V = query.digits                                  # (L, 4, 2N, S)
-    la, g, s = A.shape[0], A.shape[2], query.slots
+    la, g, s = A.shape[0], A.shape[1], query.slots
     part = jax.lax.dot_general(
-        A.reshape(la, 4 * g, -1),
+        A.reshape(la, g * 4, -1),
         jnp.transpose(V, (0, 2, 1, 3)).reshape(la, -1, 4 * s),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)             # (L, 4G, 4S) exact
-    part = part.reshape(la, 4, g, 4, s)               # (L, i, G, j, S)
-    part = jnp.transpose(part, (0, 1, 2, 4, 3)).reshape(la, 4, g * s, 4)
+        preferred_element_type=jnp.int32)             # (L, G*4, 4S) exact
+    part = part.reshape(la, g, 4, 4, s)               # (L, G, i, j, S)
+    part = jnp.transpose(part, (0, 2, 1, 4, 3)).reshape(la, 4, g * s, 4)
     acc = fold_digit_products(ctx, part, l, A.shape[-1])       # (L, G*S)
     res = jnp.transpose(acc).reshape(g, s, l, 1)
     return rns_decode_centered(ctx, res, l, pt_corr)[..., 0]   # (G, S)

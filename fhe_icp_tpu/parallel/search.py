@@ -85,11 +85,22 @@ def make_sharded_fastdot_search(ctx: CryptoContext, mesh, top_k: int = 5,
                    in_shardings=(ds, rep), out_shardings=(rep, rep, rep))
 
 
+def packed_operand_sharding(mesh) -> jax.sharding.NamedSharding:
+    """PackedDocOperand digits (L, G, 4, 2N): shard groups over dp.
+
+    G sits OUTERMOST among the dims packed_scores merges, so every
+    reshape inside the scoring program stays shard-local — XLA never
+    all-gathers the store.
+    """
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, DP_AXIS, None, None))
+
+
 def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
                                top_k: int = 5, pt_corr: int = 1):
     """Slot-packed MXU search sharded over the document (group) axis.
 
-    Returns fn(doc_digits (L, 4, G, 2N) i8, query_digits (L, 4, 2N, S) i8)
+    Returns fn(doc_digits (L, G, 4, 2N) i8, query_digits (L, 4, 2N, S) i8)
     -> (scores (G*S,) i32, topk_vals (k,) i32, topk_idx (k,) i32).
 
     Each packed ciphertext holds S = N/d documents (ops/pack.py), so a
@@ -98,12 +109,12 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
     the full MXU lane width.  Top-k merges over the all-gathered flat
     score vector, O(B) int32.
     """
-    ds = doc_operand_sharding(mesh)
+    ds = packed_operand_sharding(mesh)
     rep = replicated(mesh)
     slots = pack.slots_per_ct(ctx.n, d)
 
     def step(doc_digits, query_digits, level: int):
-        docs = fastdot.DocOperand(doc_digits, level)
+        docs = pack.PackedDocOperand(doc_digits, level)
         q = pack.PackedQueryOperand(query_digits, level, d, slots)
         scores = pack.packed_scores(ctx, docs, q, pt_corr)   # (G, S)
         flat = scores.reshape(-1)

@@ -51,6 +51,37 @@ def measure(fn: Callable, *args, iters: int = 16, warmup: int = 1) -> Dict:
     return {"ms": dt * 1e3, "s": dt}
 
 
+def measure_chained(step_fn: Callable, c_short: int = 8, c_long: int = 64,
+                    reps: int = 3) -> Dict:
+    """Honest per-step time via a dependency chain + host readback.
+
+    `step_fn(token) -> token` must be a jitted function threading a small
+    (e.g. uint32) token through each step so steps serialize on-device.
+    Some remote-dispatch backends (the axon TPU tunnel) return from
+    `block_until_ready` before device completion, making naive loop
+    timing unreliable in BOTH directions; reading back the final chain
+    token forces true completion, and the slope between two chain
+    lengths (min over `reps` runs) cancels the fixed round-trip cost.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    def chain(n: int) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            tok = jnp.uint32(0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tok = step_fn(tok)
+            np.asarray(tok)                     # force full completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    chain(2)                                    # warm-up / compile
+    dt = (chain(c_long) - chain(c_short)) / (c_long - c_short)
+    return {"ms": dt * 1e3, "s": dt}
+
+
 def roofline(fn: Callable, *args, bytes_accessed: int, ops: int = 0,
              items: int = 0, iters: int = 16) -> Dict:
     """Measure fn and relate it to its declared memory/compute footprint."""

@@ -78,7 +78,7 @@ def test_packed_scores_exact(rt, d):
 
     cts = rt.encrypt_vector(docs, seed=11)
     packed = pack.pack_ciphertexts(ctx, cts.data, d, cts.level)
-    doc_op = fastdot.make_doc_operand(ctx, packed, cts.level)
+    doc_op = pack.make_packed_doc_operand(ctx, packed, cts.level)
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(query), d,
                                           cts.level)
     got = np.asarray(pack.packed_scores(ctx, doc_op, q_op),
@@ -107,7 +107,7 @@ def test_packed_scores_direct_encryption(rt):
 
     polys = pack.encode_packed(jnp.asarray(docs.reshape(g, s, d)), ctx.n)
     ct = rt.encrypt(np.asarray(polys), seed=5)     # (G, 2, L, N)
-    doc_op = fastdot.make_doc_operand(ctx, ct.data, ct.level)
+    doc_op = pack.make_packed_doc_operand(ctx, ct.data, ct.level)
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(query), d,
                                           ct.level)
     got = np.asarray(pack.packed_scores(ctx, doc_op, q_op),

@@ -85,10 +85,11 @@ def test_sharded_packed_search_exact(rt):
     mesh = make_mesh(8, shape=(8, 1))
     docs, q, cts, truth = _docs_query(rt, batch, d)
     packed = pack.pack_ciphertexts(ctx, cts.data, d, cts.level)
-    doc_op = fastdot.make_doc_operand(ctx, packed, cts.level)
+    doc_op = pack.make_packed_doc_operand(ctx, packed, cts.level)
     q_op = pack.make_packed_query_operand(ctx, sk, q, d, cts.level)
+    from fhe_icp_tpu.parallel.search import packed_operand_sharding
     step = make_sharded_packed_search(ctx, mesh, d=d, top_k=k)
-    digits = jax.device_put(doc_op.digits, doc_operand_sharding(mesh))
+    digits = jax.device_put(doc_op.digits, packed_operand_sharding(mesh))
     scores, vals, idx = step(digits, q_op.digits)
     assert (np.asarray(scores, np.int64)[:batch] == truth).all()
     order = np.argsort(-truth)[:k]
