@@ -4,8 +4,9 @@ Measures the flagship operation behind `compare`/`search` — slot-packed
 encrypted scoring (ops/pack.py): S = N/d documents per ciphertext, one
 int8 digit matmul per RNS limb with 4S = 128 output columns (full MXU
 lane width), followed by the exact per-slot RNS decode — on the
-`pairwise-4096` parameter set (N=4096, 3 x 31-bit RNS limbs, real
-128-bit-secure BGV).
+`pairwise-4096` parameter set (N=4096, real 128-bit-secure BGV;
+encrypted fresh at 3 x 31-bit limbs, modulus-switched to 2 limbs for
+scoring — the standard BGV noise/size trade).
 
 Timing methodology: the TPU here sits behind a remote tunnel whose
 dispatch is asynchronous and whose `block_until_ready` can return before
@@ -60,6 +61,15 @@ def main() -> None:
     polys = pack.encode_packed(
         jnp.asarray(docs.reshape(groups, slots, dim)), ctx.n)
     ct = rt.encrypt(np.asarray(polys), seed=1)
+    # Modulus-switch stored ciphertexts to 2 limbs before scoring: the
+    # dot product needs far less noise headroom than a fresh ciphertext
+    # carries, and the operand shrinks by a third (exactness still gated
+    # below; the message scale correction rides Ciphertext.pt_corr).
+    from fhe_icp_tpu.ops import arith
+    from fhe_icp_tpu.ops.cipher import Ciphertext
+    ct = jax.jit(lambda data: arith.mod_switch_to(
+        ctx, Ciphertext(data, ctx.n_limbs, True), 2))(ct.data)
+    corr = ct.pt_corr
     doc_op = jax.jit(
         lambda data: pack.make_packed_doc_operand(ctx, data, ct.level))(
             ct.data)
@@ -70,11 +80,12 @@ def main() -> None:
     def step(dd, qd, tok):
         qd = pack.PackedQueryOperand(qd.digits ^ tok.astype(jnp.int8),
                                      qd.level, qd.d, qd.slots)
-        s = pack.packed_scores(ctx, dd, qd)
+        s = pack.packed_scores(ctx, dd, qd, corr)
         return (s[0, 0] & 1).astype(jnp.uint32)
 
     # Correctness gate: the benchmark only counts if the math is right.
-    out = jax.jit(lambda a, b: pack.packed_scores(ctx, a, b))(doc_op, q_op)
+    out = jax.jit(
+        lambda a, b: pack.packed_scores(ctx, a, b, corr))(doc_op, q_op)
     got = np.asarray(out, dtype=np.int64).reshape(-1)
     want = docs.astype(np.int64) @ query.astype(np.int64)
     assert (got == want).all(), "packed encrypted matvec mismatch — bench invalid"

@@ -272,10 +272,10 @@ class BatchProcessor:
             # per-document HBM traffic drops S-fold and the matmul output
             # fills the full 128-lane MXU width.
             ctx, sk = self.runtime.ctx, self.runtime.keys.sk
-            doc_ids, doc_op, n_docs = self._search_operands(level)
+            doc_ids, doc_op, n_docs, corr = self._search_operands(level)
             q_op = pack.make_packed_query_operand(
-                ctx, sk, jnp.asarray(q_int), dim, level)
-            raw = np.asarray(pack.packed_scores(ctx, doc_op, q_op),
+                ctx, sk, jnp.asarray(q_int), dim, doc_op.level)
+            raw = np.asarray(pack.packed_scores(ctx, doc_op, q_op, corr),
                              dtype=np.int64).reshape(-1)[:n_docs]
         else:
             batch = np.stack([self.storage.load(d).ct_data[:2]
@@ -291,22 +291,26 @@ class BatchProcessor:
         return out
 
     def _search_operands(self, level: int):
-        """(doc_ids, packed MXU DocOperand, n_docs) for the whole store,
-        cached per store-content signature; backed by the packed C++ arena
-        when the native codec is available, per-document loads otherwise.
+        """(doc_ids, packed MXU DocOperand, n_docs, pt_corr) for the whole
+        store, cached per store-content signature; backed by the packed
+        C++ arena when the native codec is available, per-document loads
+        otherwise.
 
         The per-doc fwd ciphertexts are slot-packed homomorphically
-        (pack.pack_ciphertexts — noise-free monomial multiplies + adds),
-        so the cached operand is S = N/dim times smaller than the store.
+        (pack.pack_ciphertexts — noise-free monomial multiplies + adds)
+        and then modulus-switched down to 2 limbs (scoring needs far
+        less noise headroom than a fresh ciphertext carries), so the
+        cached operand is S = N/dim * L/2 times smaller than the store.
         """
         import jax
         import jax.numpy as jnp
+        from .ops import arith
         ids = self.storage.list_documents()
         sig = (tuple(ids), tuple(sorted(
             (d, e["sha256"]) for d, e in self.storage.index.items())))
         cached = getattr(self, "_op_cache", None)
         if cached is not None and cached[0] == sig:
-            return cached[1], cached[2], cached[3]
+            return cached[1], cached[2], cached[3], cached[4]
         try:
             from . import native  # noqa: F401 — probe toolchain
             arena_ids, view = None, None
@@ -322,12 +326,17 @@ class BatchProcessor:
             arena_ids = ids
             batch = np.stack([self.storage.load(d).ct_data[:2] for d in ids])
         ctx = self.runtime.ctx
-        packed = jax.jit(
-            lambda b: pack.pack_ciphertexts(ctx, b, self.target_dim, level)
-        )(jnp.asarray(batch))
-        doc_op = pack.make_packed_doc_operand(ctx, packed, level)
-        self._op_cache = (sig, arena_ids, doc_op, len(arena_ids))
-        return arena_ids, doc_op, len(arena_ids)
+
+        def build(b):
+            ct = Ciphertext(
+                pack.pack_ciphertexts(ctx, b, self.target_dim, level),
+                level, True)
+            return arith.mod_switch_to(ctx, ct, min(2, level))
+
+        ct = jax.jit(build)(jnp.asarray(batch))
+        doc_op = pack.make_packed_doc_operand(ctx, ct.data, ct.level)
+        self._op_cache = (sig, arena_ids, doc_op, len(arena_ids), ct.pt_corr)
+        return arena_ids, doc_op, len(arena_ids), ct.pt_corr
 
     # -- stats (reference batch_operations.py:286-295) ---------------------
     def get_memory_stats(self) -> Dict:

@@ -175,11 +175,17 @@ def packed_coeff_weights(ctx: CryptoContext, d: int, slots: int, l: int):
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PackedDocOperand:
-    """Digit planes of packed ciphertexts: (L, G, 4, 2N).
+    """Digit planes of packed ciphertexts: (L, G*4, 2N), group-major.
 
-    The group axis G is OUTERMOST among the merged matmul dims so that
-    sharding G over a device mesh keeps the (L, G*4, 2N) reshape inside
-    packed_scores shard-local — no all-gather of the store.
+    Row g*4 + i is digit plane i of packed group g.  Two constraints
+    shape this layout:
+    * the group index is OUTERMOST among the merged matmul rows, so
+      sharding rows over a device mesh keeps every reshape inside
+      packed_scores shard-local (no all-gather of the store) — shards
+      stay group-aligned whenever G divides evenly;
+    * the trailing dims (G*4, 2N) are both large, so the int8 (32, 128)
+      tiling pads NOTHING — a separate digit axis of extent 4 would be
+      sublane-padded 8x in HBM (measured: 3.2x slower scoring).
     """
 
     digits: jnp.ndarray
@@ -187,17 +193,19 @@ class PackedDocOperand:
 
     @property
     def groups(self) -> int:
-        return self.digits.shape[1]
+        return self.digits.shape[1] // 4
 
 
 def make_packed_doc_operand(ctx: CryptoContext, ct_data,
                             level: int) -> PackedDocOperand:
     """(G, 2, L, N) u32 packed ciphertexts -> MXU-ready digit planes."""
     p = ctx.p[:level, :]                              # (L, 1)
+    g = ct_data.shape[0]
     a = jnp.moveaxis(ct_data, 1, -2)                  # (G, L, 2, N)
     a = a.reshape(a.shape[:-2] + (2 * ctx.n,))        # (G, L, 2N)
     dig = balanced_digits(center_residues(a, p))      # (G, L, 2N, 4)
-    return PackedDocOperand(jnp.transpose(dig, (1, 0, 3, 2)), level)
+    dig = jnp.transpose(dig, (1, 0, 3, 2))            # (L, G, 4, 2N)
+    return PackedDocOperand(dig.reshape(dig.shape[0], g * 4, -1), level)
 
 
 @jax.tree_util.register_dataclass
@@ -247,11 +255,11 @@ def packed_scores(ctx: CryptoContext, docs: PackedDocOperand,
     """
     l = docs.level
     assert query.level == l
-    A = docs.digits                                   # (L, G, 4, 2N)
+    A = docs.digits                                   # (L, G*4, 2N)
     V = query.digits                                  # (L, 4, 2N, S)
-    la, g, s = A.shape[0], A.shape[1], query.slots
+    la, g, s = A.shape[0], docs.groups, query.slots
     part = jax.lax.dot_general(
-        A.reshape(la, g * 4, -1),
+        A,
         jnp.transpose(V, (0, 2, 1, 3)).reshape(la, -1, 4 * s),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)             # (L, G*4, 4S) exact

@@ -85,6 +85,11 @@ def partition_groups(n_groups: int, n_hosts: int) -> List[HostShard]:
     return shards
 
 
+def shard_slice(packed_digits, shard: HostShard):
+    """This host's slice of a PackedDocOperand's (L, G*4, 2N) digits."""
+    return packed_digits[:, 4 * shard.start: 4 * shard.stop]
+
+
 def local_topk(scores: np.ndarray, k: int,
                index_offset: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k of this host's scores -> (values desc, GLOBAL doc indices)."""

@@ -86,14 +86,15 @@ def make_sharded_fastdot_search(ctx: CryptoContext, mesh, top_k: int = 5,
 
 
 def packed_operand_sharding(mesh) -> jax.sharding.NamedSharding:
-    """PackedDocOperand digits (L, G, 4, 2N): shard groups over dp.
+    """PackedDocOperand digits (L, G*4, 2N): shard group rows over dp.
 
-    G sits OUTERMOST among the dims packed_scores merges, so every
-    reshape inside the scoring program stays shard-local — XLA never
-    all-gathers the store.
+    Rows are group-major (digit planes of one packed ciphertext stay
+    adjacent), so shards remain group-aligned whenever G divides the dp
+    axis and every reshape inside the scoring program stays shard-local
+    — XLA never all-gathers the store.
     """
     return jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, DP_AXIS, None, None))
+        mesh, jax.sharding.PartitionSpec(None, DP_AXIS, None))
 
 
 def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,

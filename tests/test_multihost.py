@@ -72,7 +72,7 @@ def test_search_host_shard_matches_oracle():
     mesh = make_mesh(1, shape=(1, 1))
     per_host = []
     for sh in shards:
-        local = jax.device_put(doc_op.digits[:, sh.start: sh.stop],
+        local = jax.device_put(mh.shard_slice(doc_op.digits, sh),
                                packed_operand_sharding(mesh))
         vals, idx = mh.search_host_shard(
             ctx, mesh, local, q_op.digits, d, sh, slots, n_docs, top_k=k)
