@@ -152,6 +152,31 @@ class FHEDocumentCLI:
             if args.fix:
                 store.delete(doc_id)
                 print(f"  deleted: {doc_id}")
+        if getattr(args, "deep", False) and valid:
+            # Cryptographic depth: decrypt-side noise budget per ciphertext
+            # (SURVEY.md §5 failure-detection parity — the reference can
+            # only hash-check; it has no access to noise).
+            from .keymgr import FHEKeyManager
+            from .ops.cipher import Ciphertext
+            from .ops.noise import noise_budget_bits
+            rt = FHEKeyManager(self.key_dir,
+                               preset=self.preset).load_keyset()
+            low = []
+            for doc_id in valid:
+                doc = store.load(doc_id)
+                import jax.numpy as jnp
+                ct = Ciphertext(jnp.asarray(doc.ct_data[:2]), doc.ct_level,
+                                True)
+                bits = noise_budget_bits(rt.ctx, rt.keys.sk, ct,
+                                         max_coeffs=32)
+                if bits < 10:
+                    low.append((doc_id, bits))
+            print(f"Noise check: {len(valid) - len(low)} healthy, "
+                  f"{len(low)} low-budget (<10 bits)")
+            for doc_id, bits in low:
+                print(f"  low noise budget: {doc_id} ({bits} bits)")
+            if low and not args.fix:
+                return 1
         return 0 if not invalid or args.fix else 1
 
     def cmd_estimate(self, args) -> int:
@@ -213,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
     val = sub.add_parser("validate", help="validate stored documents")
     val.add_argument("--fix", action="store_true",
                      help="delete corrupt documents")
+    val.add_argument("--deep", action="store_true",
+                     help="also check each ciphertext's noise budget "
+                          "(requires keys)")
 
     est = sub.add_parser("estimate", help="ICP deployment resource estimate")
     est.add_argument("--num-docs", type=int, default=1000)

@@ -155,20 +155,34 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
     return x.reshape(lead + (n,))
 
 
+def _flatten_lead(x):
+    """Collapse leading batch dims to one: XLA's TPU backend runs the
+    per-stage butterfly fusions ~4.5x slower on rank>3 arrays (measured:
+    (32,32,3,4096) INTT 5.9 ms vs 1.3 ms reshaped to (1024,3,4096))."""
+    lead = x.shape[:-2]
+    if len(lead) <= 1:
+        return x, None
+    return x.reshape((-1,) + x.shape[-2:]), lead
+
+
 def ntt_fwd(plan: NttPlan, x):
     """Coefficient domain (natural order) -> NTT domain (bit-reversed).
 
     x: (..., L, N) uint32, residues in [0, p_l).
     """
+    x, lead = _flatten_lead(x)
     l = _limbs(plan, x)
     p = plan.p[:l]
     twisted = shoup_mul(x, plan.psi[:l], plan.psi_sh[:l], p)
-    return _cyclic_fwd(plan, twisted, l)
+    out = _cyclic_fwd(plan, twisted, l)
+    return out if lead is None else out.reshape(lead + out.shape[-2:])
 
 
 def ntt_inv(plan: NttPlan, x):
     """NTT domain (bit-reversed) -> coefficient domain (natural order)."""
+    x, lead = _flatten_lead(x)
     l = _limbs(plan, x)
     p = plan.p[:l]
     raw = _cyclic_inv(plan, x, l)
-    return shoup_mul(raw, plan.psi_inv_n[:l], plan.psi_inv_n_sh[:l], p)
+    out = shoup_mul(raw, plan.psi_inv_n[:l], plan.psi_inv_n_sh[:l], p)
+    return out if lead is None else out.reshape(lead + out.shape[-2:])
