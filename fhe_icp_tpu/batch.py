@@ -102,8 +102,8 @@ class BatchProcessor:
         rng = np.random.default_rng(0)
         e = rng.standard_normal(self.target_dim)
         q, _ = prepare_embedding_for_fhe(e, self.scale)
-        ct_fwd = self.runtime.encrypt_vector(q, seed=101)
-        ct_rev = self.runtime.encrypt_vector(q, seed=102, rev=True)
+        ct_fwd = self.runtime.encrypt_vector(q)
+        ct_rev = self.runtime.encrypt_vector(q, rev=True)
         raw = int(self.runtime.decrypt_dot(
             self.runtime.dot_ct_ct(ct_fwd, ct_rev), self.target_dim))
         sim = dequantize_score(raw, self.scale)
@@ -202,11 +202,12 @@ class BatchProcessor:
             reduced = self._embed_reduce(batch)
             quantized = np.stack([
                 prepare_embedding_for_fhe(r, self.scale)[0] for r in reduced])
-            seed = int.from_bytes(
-                hashlib.sha256(("|".join(ids)).encode()).digest()[:4], "little")
-            ct_fwd = self.runtime.encrypt_vector(quantized, seed=seed)
-            ct_rev = self.runtime.encrypt_vector(quantized, seed=seed + 1,
-                                                 rev=True)
+            # seed=None -> fresh OS entropy per encryption.  Deriving the
+            # seed from doc ids (as an earlier revision did) reuses (a, e)
+            # when CHANGED content is re-encrypted under the same ids —
+            # c0 - c0' = m - m' leaks the plaintext difference.
+            ct_fwd = self.runtime.encrypt_vector(quantized)
+            ct_rev = self.runtime.encrypt_vector(quantized, rev=True)
             fwd_np = np.asarray(ct_fwd.data)
             rev_np = np.asarray(ct_rev.data)
             now = time.time()
@@ -232,6 +233,31 @@ class BatchProcessor:
         logger.info("encrypted %d documents", len(done))
         return done_pre + done
 
+    # -- key-id enforcement + homomorphic re-keying -------------------------
+    def _check_key(self, doc_id: str, doc_key_id: str) -> None:
+        """Hard-error on a key mismatch instead of decrypting garbage.
+
+        Decrypting a ciphertext with the wrong secret key yields random
+        scores with no error signal; the reference avoids this by loading
+        models per key_id (/root/reference/key_management.py:203-241).
+        Here mismatched documents are rejected and `rekey_store` migrates
+        them homomorphically.
+        """
+        if doc_key_id and self.key_id and doc_key_id != self.key_id:
+            raise ValueError(
+                f"document {doc_id!r} is encrypted under key "
+                f"{doc_key_id!r} but the current key is {self.key_id!r}; "
+                f"run rekey_store({doc_key_id!r}) to migrate it "
+                f"(or `keys rotate`, which migrates automatically)")
+
+    def rekey_store(self, old_key_id: str) -> int:
+        """Re-encrypt every stored doc from old_key_id to the current key
+        WITHOUT decrypting (arith.rekey keyswitch).  Returns #migrated."""
+        n = rekey_documents(self.storage, self.key_manager, old_key_id,
+                            self.key_id)
+        self._op_cache = None            # packed operand cache is stale
+        return n
+
     # -- encrypted compare (REAL ct x ct, unlike the reference) ------------
     def _split_ct(self, doc: EncryptedDocument) -> Tuple[Ciphertext, Ciphertext]:
         import jax.numpy as jnp
@@ -244,6 +270,8 @@ class BatchProcessor:
         d1 = self.storage.load(doc_id1)
         d2 = self.storage.load(doc_id2)
         assert d1.dim == d2.dim
+        self._check_key(doc_id1, d1.key_id)
+        self._check_key(doc_id2, d2.key_id)
         fwd1, _ = self._split_ct(d1)
         _, rev2 = self._split_ct(d2)
         score_ct = self.runtime.dot_ct_ct(fwd1, rev2)
@@ -278,8 +306,10 @@ class BatchProcessor:
             raw = np.asarray(pack.packed_scores(ctx, doc_op, q_op, corr),
                              dtype=np.int64).reshape(-1)[:n_docs]
         else:
-            batch = np.stack([self.storage.load(d).ct_data[:2]
-                              for d in doc_ids])             # (B, 2, L, N)
+            docs = [self.storage.load(d) for d in doc_ids]
+            for d in docs:
+                self._check_key(d.doc_id, d.key_id)
+            batch = np.stack([d.ct_data[:2] for d in docs])  # (B, 2, L, N)
             cts = Ciphertext(jnp.asarray(batch), level, True)
             raw = np.asarray(
                 self.runtime.decrypt_dot(self.runtime.matvec(cts, q_int), dim),
@@ -306,6 +336,8 @@ class BatchProcessor:
         import jax.numpy as jnp
         from .ops import arith
         ids = self.storage.list_documents()
+        for doc_id in ids:
+            self._check_key(doc_id, self.storage.index[doc_id].get("key_id", ""))
         sig = (tuple(ids), tuple(sorted(
             (d, e["sha256"]) for d, e in self.storage.index.items())))
         cached = getattr(self, "_op_cache", None)
@@ -347,3 +379,63 @@ class BatchProcessor:
             "used_mb": current - self.initial_memory_mb,
             "limit_mb": self.config.max_memory_mb,
         }
+
+
+def rekey_documents(storage: EncryptedDocumentStore,
+                    key_manager: FHEKeyManager, old_key_id: str,
+                    new_key_id: Optional[str] = None,
+                    batch_size: int = 64) -> int:
+    """Homomorphically migrate every doc under old_key_id to new_key_id.
+
+    Each stored ciphertext (fwd + rev pair) is keyswitched old_s -> new_s
+    (arith.rekey) — the plaintext is never exposed; only additive
+    keyswitch noise is paid.  Used by `keys rotate` (CLI) and
+    BatchProcessor.rekey_store.  Returns the number of migrated docs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import arith
+
+    new_key_id = new_key_id or key_manager.get_current_key()
+    ids = [d for d in storage.list_documents()
+           if storage.index[d].get("key_id") == old_key_id]
+    if not ids:
+        return 0
+    ksks = key_manager.load_rekey_key(old_key_id, new_key_id)
+    ctx = key_manager.load_keyset(new_key_id).ctx
+    jitted: Dict[int, object] = {}
+
+    def rekey_batch(data, level):
+        fn = jitted.get(level)
+        if fn is None:
+            ksk = ksks.get(level)
+            if ksk is None:
+                raise ValueError(f"no rekey key for level {level} "
+                                 f"(available: {sorted(ksks)})")
+            fn = jax.jit(lambda x: arith.rekey(
+                ctx, ksk, Ciphertext(x, level, True)).data)
+            jitted[level] = fn
+        return fn(data)
+
+    done = 0
+    for start in range(0, len(ids), batch_size):
+        chunk = [storage.load(d) for d in ids[start: start + batch_size]]
+        by_level: Dict[int, list] = {}
+        for doc in chunk:
+            by_level.setdefault(doc.ct_level, []).append(doc)
+        for level, group in by_level.items():
+            data = jnp.asarray(np.stack([d.ct_data for d in group]))
+            b = data.shape[0]                       # (B, 2k, L, N)
+            k2 = data.shape[1]
+            pairs = data.reshape(b * (k2 // 2), 2, level, ctx.n)
+            out = np.asarray(rekey_batch(pairs, level),
+                             dtype=np.uint32).reshape(b, k2, level, ctx.n)
+            for i, doc in enumerate(group):
+                doc.ct_data = out[i]
+                doc.key_id = new_key_id
+                storage.save(doc)
+                done += 1
+    logger.info("re-keyed %d documents %s -> %s", done, old_key_id,
+                new_key_id)
+    return done

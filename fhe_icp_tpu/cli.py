@@ -32,14 +32,14 @@ ICP_CYCLES_PER_COMPARE = 500_000
 
 
 def interpret_score(score: float) -> str:
-    """Reference fhe_cli.py:169-176."""
+    """Reference fhe_cli.py:169-176 — exact band strings."""
     if score > 0.9:
-        return "Very similar documents"
+        return "Very similar"
     if score > 0.7:
-        return "Similar documents"
+        return "Similar"
     if score > 0.5:
-        return "Somewhat similar documents"
-    return "Different documents"
+        return "Somewhat similar"
+    return "Not very similar"
 
 
 class FHEDocumentCLI:
@@ -74,8 +74,20 @@ class FHEDocumentCLI:
                 print(f"{key_id}{cur}: {info['status']}, "
                       f"created {time.ctime(info['created_at'])}")
         elif args.action == "rotate":
+            old = km.get_current_key()
             new_id = km.rotate_keys(args.grace_days)
             print(f"Rotated to key: {new_id}")
+            if old and not args.no_migrate:
+                # Migrate the store homomorphically so every stored
+                # ciphertext stays usable under the NEW key (the
+                # reference can only keep old keys loadable for a grace
+                # period — key_management.py:243-268).
+                from .batch import rekey_documents
+                from .store import EncryptedDocumentStore
+                store = EncryptedDocumentStore(self.storage_dir)
+                n = rekey_documents(store, km, old, new_id)
+                if n:
+                    print(f"Re-keyed {n} stored documents to {new_id}")
         return 0
 
     def cmd_encrypt(self, args) -> int:
@@ -214,6 +226,8 @@ def build_parser() -> argparse.ArgumentParser:
     keys.add_argument("action", choices=["generate", "list", "rotate"])
     keys.add_argument("--key-id", default=None)
     keys.add_argument("--grace-days", type=int, default=7)
+    keys.add_argument("--no-migrate", action="store_true",
+                      help="on rotate, skip homomorphic store re-keying")
 
     enc = sub.add_parser("encrypt", help="encrypt one document")
     enc.add_argument("text", nargs="?", default=None)

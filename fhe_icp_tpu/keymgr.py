@@ -187,6 +187,51 @@ class FHEKeyManager:
         rt.keys = KeySet(sk=sk, pk=pk, rlk=rlk)
         return rt
 
+    # -- homomorphic re-keying (old key -> new key, no decryption) ----------
+    def _rekey_path(self, old_key_id: str, new_key_id: str) -> Path:
+        return self.key_dir / f"rekey_{old_key_id}__to__{new_key_id}.npz"
+
+    def make_rekey_key(self, old_key_id: str,
+                       new_key_id: Optional[str] = None) -> Path:
+        """Generate + persist keyswitch keys old -> new (public material).
+
+        Requires the master password (both secret keys are decrypted to
+        build the keys), but the resulting file is public-key material —
+        it is stored unencrypted like `.pub`.  Beats the reference's
+        rotation scheme, which can only keep old keys loadable for a
+        grace period (/root/reference/key_management.py:243-268); here
+        the store itself migrates (see batch.rekey_store).
+        """
+        import jax
+        from .ops.cipher import rekey_keygen
+        new_key_id = new_key_id or self.get_current_key()
+        if new_key_id is None:
+            raise RuntimeError("no current key to rekey to")
+        old_rt = self.load_keyset(old_key_id)
+        new_rt = self.load_keyset(new_key_id)
+        ctx = new_rt.ctx
+        seed = int.from_bytes(os.urandom(8), "little") >> 1
+        ksks = jax.jit(lambda k: rekey_keygen(
+            ctx, k, old_rt.keys.sk, new_rt.keys.sk))(jax.random.PRNGKey(seed))
+        path = self._rekey_path(old_key_id, new_key_id)
+        path.write_bytes(_npz_bytes(
+            **{f"ksk_{lv}": np.asarray(v) for lv, v in ksks.items()}))
+        os.chmod(path, 0o600)
+        logger.info("rekey key %s -> %s written", old_key_id, new_key_id)
+        return path
+
+    def load_rekey_key(self, old_key_id: str,
+                       new_key_id: Optional[str] = None) -> Dict:
+        """{level: ksk array} for old -> new, generating it if absent."""
+        import jax.numpy as jnp
+        new_key_id = new_key_id or self.get_current_key()
+        path = self._rekey_path(old_key_id, new_key_id)
+        if not path.exists():
+            self.make_rekey_key(old_key_id, new_key_id)
+        arrays = _npz_load(path.read_bytes())
+        return {int(k.split("_")[1]): jnp.asarray(v)
+                for k, v in arrays.items()}
+
     # -- rotation ----------------------------------------------------------
     def rotate_keys(self, grace_period_days: int = 7) -> str:
         meta = self._load_meta()

@@ -132,8 +132,14 @@ class FHESimilarityModel:
         acc = xq @ self.w_int.astype(np.int64)
         return acc * (self.x_quant.step * self.w_quant.step) + self.intercept_
 
-    def predict_encrypted(self, x: np.ndarray, seed: int = 1) -> np.ndarray:
-        """Encrypt inputs, evaluate w.x homomorphically, decrypt, dequantize."""
+    def predict_encrypted(self, x: np.ndarray,
+                          seed: Optional[int] = None) -> np.ndarray:
+        """Encrypt inputs, evaluate w.x homomorphically, decrypt, dequantize.
+
+        seed=None (the default) draws fresh OS entropy per call — two
+        calls never share encryption randomness (the reference's Concrete
+        backend samples fresh per execute too,
+        /root/reference/fhe_similarity.py:151)."""
         if self.runtime is None:
             raise RuntimeError("compile() before predict_encrypted()")
         rt = self.runtime

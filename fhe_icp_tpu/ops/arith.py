@@ -135,6 +135,22 @@ def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
     return Ciphertext(jnp.stack([acc0, acc1], axis=-3), l, True, ct.pt_corr)
 
 
+def rekey(ctx: CryptoContext, ksk, ct: Ciphertext) -> Ciphertext:
+    """Switch ct from the OLD secret to the NEW one without decrypting.
+
+    ksk = cipher.rekey_keygen(...)[ct.level]: gadget keyswitch keys
+    old_s -> new_s.  Decomposing c1 and accumulating against the key
+    ciphertexts yields (d0, d1) with d0 + d1*new_s = c1*old_s + t*e_ks,
+    so (c0 + d0, d1) decrypts to the same message under new_s, with
+    additive keyswitch noise only.
+    """
+    assert ct.k == 2 and ct.is_ntt
+    l = ct.level
+    d0, d1 = gadget_keyswitch_apply(ctx, ksk, ct.data[..., 1, :, :], l)
+    c0 = add_mod(ct.data[..., 0, :, :], d0, ctx.lp(l))
+    return Ciphertext(jnp.stack([c0, d1], axis=-3), l, True, ct.pt_corr)
+
+
 # ---------------------------------------------------------------------------
 # Modulus switching (noise management / ciphertext compression)
 # ---------------------------------------------------------------------------

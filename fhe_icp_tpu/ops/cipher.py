@@ -176,6 +176,37 @@ def gadget_keyswitch_key(ctx: CryptoContext, key, s_ntt_mont,
     return to_mont(rk, p_lv, pinv_lv, r2_lv)
 
 
+def rekey_keygen(ctx: CryptoContext, key, old_sk: SecretKey,
+                 new_sk: SecretKey, levels: Optional[list] = None
+                 ) -> Dict[int, jnp.ndarray]:
+    """Keyswitch keys old_s -> new_s, per level: {lv: (lv, 2, lv, N)}.
+
+    Enables homomorphic store re-keying on rotation: a ciphertext under
+    the OLD secret is converted to one under the NEW secret without ever
+    decrypting (arith.rekey).  This is strictly stronger than the
+    reference's grace-period scheme, which merely keeps old keys
+    loadable (/root/reference/key_management.py:243-268) and leaves the
+    store bound to the retired key forever.
+
+    The key material is the same gadget keyswitch construction as
+    relinearization (digit j encrypts E_j * old_s under new_s); like an
+    RLWE public key it is safe to store unencrypted.  Level 1 is
+    excluded: the CRT-idempotent gadget's keyswitch noise needs at least
+    one spare limb of headroom (same constraint as relinearization).
+    """
+    l = ctx.n_limbs
+    levels = list(levels) if levels is not None else list(range(2, l + 1))
+    out: Dict[int, jnp.ndarray] = {}
+    for lv in levels:
+        assert lv >= 2, "rekey below level 2 has no noise headroom"
+        key, k_lv = jax.random.split(key)
+        old_s_ntt = mont_mul(old_sk.s_ntt_mont[:lv], jnp.uint32(1),
+                             ctx.lp(lv), ctx.lpinv(lv))   # normal form
+        out[lv] = gadget_keyswitch_key(ctx, k_lv, new_sk.s_ntt_mont,
+                                       old_s_ntt, lv)
+    return out
+
+
 def keygen(ctx: CryptoContext, key, rlk_levels: Optional[list] = None) -> KeySet:
     """Generate secret, public, and relinearization keys.
 

@@ -46,6 +46,31 @@ def _col(vals) -> jnp.ndarray:
 
 
 @dataclass(frozen=True)
+class HybridTables:
+    """Hybrid-keyswitch tables for one level: primes[0:l] + special P.
+
+    The keyswitch key lives over the EXTENDED chain (l+1 limbs, special
+    prime LAST); after digit accumulation the result is divided by P
+    with the same exact rounding as modulus switching.  Because the key
+    encrypts P * target, the division leaves the message term intact —
+    no pt_corr change.
+    """
+
+    l: int
+    plan: NttPlan                # NTT plan over primes[0:l] + (P,)
+    p: jnp.ndarray               # (l+1, 1) extended prime column
+    pinv: jnp.ndarray            # (l+1, 1) Montgomery -p^{-1}
+    r2: jnp.ndarray              # (l+1, 1) R^2 mod p
+    mu: jnp.ndarray              # (l+1, 1) Barrett mu
+    p_mod_pj: jnp.ndarray        # (l, 1)  P mod p_j (for P*target in keygen)
+    # --- divide-by-P (drop the special limb) ---
+    t_inv_mont_sp: jnp.ndarray   # (1,1) [t^{-1}]_P, mont-of-P
+    sp_half: jnp.ndarray         # (1,1) P // 2
+    sp_mod_pi: jnp.ndarray       # (l,1) P mod p_i
+    inv_sp_mont: jnp.ndarray     # (l,1) [P^{-1}]_{p_i}, mont-of-p_i
+
+
+@dataclass(frozen=True)
 class LevelTables:
     """Decode + modswitch tables for one level (active primes[0:l])."""
 
@@ -132,6 +157,36 @@ class CryptoContext:
                 pd_mod_pi=pd_mod_pi,
                 inv_pd_mont=inv_pd_mont,
             )
+
+    # -- hybrid keyswitch tables (lazy per level) ---------------------------
+    def hybrid(self, l: int) -> HybridTables:
+        """Tables for hybrid keyswitching at level l (primes[0:l] + P)."""
+        key = ("hybrid", l)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        assert 2 <= l <= self.n_limbs
+        sp = self.params.special_prime
+        ext = tuple(self.primes[:l]) + (sp,)
+        mc = [pr.mont_constants(p) for p in ext]
+        spc = pr.mont_constants(sp)
+        t = self.t
+        tables = HybridTables(
+            l=l,
+            plan=build_plan(self.n, ext),
+            p=_col(ext),
+            pinv=_col([c["p_neg_inv"] for c in mc]),
+            r2=_col([c["r2_mod_p"] for c in mc]),
+            mu=_col([pr.barrett_mu(p) for p in ext]),
+            p_mod_pj=_col([sp % p for p in self.primes[:l]]),
+            t_inv_mont_sp=_col([pow(t, -1, sp) * (1 << 32) % sp]),
+            sp_half=_col([sp // 2]),
+            sp_mod_pi=_col([sp % p for p in self.primes[:l]]),
+            inv_sp_mont=_col([pow(sp, -1, p) * (1 << 32) % p
+                              for p in self.primes[:l]]),
+        )
+        self.cache[key] = tables
+        return tables
 
     # -- convenience slices for a given level ------------------------------
     def lp(self, l: int) -> jnp.ndarray:

@@ -19,24 +19,30 @@ from .ntt import ntt_inv
 
 def phase_centered(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext,
                    max_coeffs: int = 256) -> np.ndarray:
-    """Exact centered phase values (object array of Python ints)."""
+    """Exact centered phase values (object array of Python ints).
+
+    Batched ciphertexts are inspected across EVERY batch element (the
+    coefficient subsample is divided among them), so the returned worst
+    case covers the whole batch — not just element 0.
+    """
     x = np.asarray(ntt_inv(ctx.plan, _phase(ctx, sk, ct)))
     l = ct.level
     primes = ctx.primes[:l]
     q = 1
     for p in primes:
         q *= p
-    idx = np.linspace(0, ctx.n - 1, min(max_coeffs, ctx.n)).astype(int)
-    out = []
-    # Reduce leading batch dims: inspect the first batch element only.
-    while x.ndim > 2:
-        x = x[0]
+    x = x.reshape(-1, l, ctx.n)                    # flatten batch dims
+    b = x.shape[0]
+    per = max(1, min(max_coeffs // b, ctx.n))
+    idx = np.linspace(0, ctx.n - 1, per).astype(int)
     recon_consts = [(q // p) * pow((q // p) % p, -1, p) % q for p in primes]
-    for i in idx:
-        v = 0
-        for j in range(l):
-            v = (v + int(x[j, i]) * recon_consts[j]) % q
-        out.append(v - q if v > q // 2 else v)
+    out = []
+    for e in range(b):
+        for i in idx:
+            v = 0
+            for j in range(l):
+                v = (v + int(x[e, j, i]) * recon_consts[j]) % q
+            out.append(v - q if v > q // 2 else v)
     return np.asarray(out, dtype=object)
 
 

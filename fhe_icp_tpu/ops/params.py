@@ -32,7 +32,16 @@ T_MODULUS = pr.ntt_primes(1, bits=30)[0]
 
 @dataclass(frozen=True)
 class CryptoParams:
-    """A named BGV parameter preset."""
+    """A named BGV parameter preset.
+
+    Every preset carries one SPECIAL prime P beyond the n_limbs
+    ciphertext primes: keyswitching (relinearization, Galois, re-keying)
+    is HYBRID — the keyswitch keys live at modulus Q*P and the result is
+    scaled back down by P, dividing the keyswitch noise by ~2^31
+    (GHS/SEAL-style).  Fresh ciphertexts never use P; security is
+    therefore checked against log2(Q*P), the largest modulus any RLWE
+    sample under the secret actually sees.
+    """
 
     name: str
     n: int                      # ring degree (power of two)
@@ -46,6 +55,11 @@ class CryptoParams:
         return pr.ntt_primes(self.n_limbs, bits=31)
 
     @cached_property
+    def special_prime(self) -> int:
+        """The hybrid-keyswitch prime P (first NTT prime past the chain)."""
+        return pr.ntt_primes(self.n_limbs + 1, bits=31)[self.n_limbs]
+
+    @cached_property
     def q(self) -> int:
         out = 1
         for p in self.primes:
@@ -57,17 +71,22 @@ class CryptoParams:
         return self.q.bit_length()
 
     @cached_property
+    def log_qp(self) -> int:
+        """log2 of the keyswitch modulus Q*P — what security is checked on."""
+        return (self.q * self.special_prime).bit_length()
+
+    @cached_property
     def secure_128(self) -> bool:
         limit = _MAX_LOG_Q_128.get(self.n, 0)
-        return self.log_q <= limit
+        return self.log_qp <= limit
 
     def __post_init__(self):
         assert self.n & (self.n - 1) == 0
         if not self.allow_insecure:
             limit = _MAX_LOG_Q_128.get(self.n, 0)
-            if self.q.bit_length() > limit:
+            if self.log_qp > limit:
                 raise ValueError(
-                    f"{self.name}: log q = {self.q.bit_length()} exceeds the "
+                    f"{self.name}: log(Q*P) = {self.log_qp} exceeds the "
                     f"128-bit security limit {limit} for N={self.n}; pass "
                     f"allow_insecure=True for test-only parameter sets"
                 )
@@ -80,8 +99,12 @@ PRESETS = {
     # of one multiplication (2 limbs / 2^62 does not).  NOT secure.
     "test-512-mult": CryptoParams("test-512-mult", n=512, n_limbs=3,
                                   allow_insecure=True),
-    # Default for the encrypted-similarity pipeline (ct x pt workloads).
-    "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=3),
+    # Default for the encrypted-similarity pipeline.  2 limbs + the
+    # special prime: log(Q*P) = 93 <= 109 keeps 128-bit security, and
+    # hybrid keyswitching makes ct x ct compare + relinearization (and
+    # homomorphic re-keying) fit the 2^62 budget — fresh ciphertexts are
+    # a third smaller than the earlier 3-limb variant.
+    "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=2),
     # ct x ct multiplication + relinearization headroom.
     "mult-8192": CryptoParams("mult-8192", n=8192, n_limbs=6),
     # Large-ring configuration (BASELINE.json config 4).

@@ -15,6 +15,7 @@ XLA-compiled TPU code.
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 from typing import Optional
 
@@ -22,6 +23,32 @@ import jax
 import jax.numpy as jnp
 
 _cache_ready = False
+
+# -- fresh encryption randomness ---------------------------------------------
+# RLWE encryption must NEVER reuse (a, e) across different messages:
+# c0 - c0' = m - m' leaks the plaintext difference.  The reference gets
+# this for free because Concrete samples fresh per execute
+# (/root/reference/fhe_similarity.py:151).  Here every encrypt entry
+# point defaults to a never-repeating key: a process-wide base drawn
+# from os.urandom folded with a monotonic counter, so reuse within a
+# process is impossible and cross-process collision requires matching
+# 63-bit bases.  Pass an explicit integer seed only for deterministic
+# tests / known-answer vectors.
+_entropy_base = None
+_entropy_counter = itertools.count()
+
+
+def fresh_prng_key():
+    """A never-repeating jax PRNGKey backed by OS entropy."""
+    global _entropy_base
+    if _entropy_base is None:
+        _entropy_base = jax.random.PRNGKey(
+            int.from_bytes(os.urandom(8), "little") >> 1)
+    return jax.random.fold_in(_entropy_base, next(_entropy_counter))
+
+
+def _prng_key(seed: Optional[int]):
+    return fresh_prng_key() if seed is None else jax.random.PRNGKey(seed)
 
 
 def _setup_compile_cache() -> None:
@@ -125,14 +152,14 @@ class FheRuntime:
         return self.keys
 
     # -- core ops ----------------------------------------------------------
-    def encrypt(self, m, seed: int = 0) -> Ciphertext:
-        return self._encrypt_sym(self._require_keys().sk,
-                                 jax.random.PRNGKey(seed),
+    def encrypt(self, m, seed: Optional[int] = None) -> Ciphertext:
+        """Encrypt with FRESH randomness by default (seed=None); pass an
+        integer seed only for deterministic tests."""
+        return self._encrypt_sym(self._require_keys().sk, _prng_key(seed),
                                  jnp.asarray(m, dtype=jnp.int32))
 
-    def encrypt_public(self, m, seed: int = 0) -> Ciphertext:
-        return self._encrypt_pk(self._require_keys().pk,
-                                jax.random.PRNGKey(seed),
+    def encrypt_public(self, m, seed: Optional[int] = None) -> Ciphertext:
+        return self._encrypt_pk(self._require_keys().pk, _prng_key(seed),
                                 jnp.asarray(m, dtype=jnp.int32))
 
     def decrypt(self, ct: Ciphertext):
@@ -157,9 +184,10 @@ class FheRuntime:
         return self._mod_switch(a)
 
     # -- vector / dot-product API -----------------------------------------
-    def encrypt_vector(self, vec, seed: int = 0, rev: bool = False):
+    def encrypt_vector(self, vec, seed: Optional[int] = None,
+                       rev: bool = False):
         fn = self._encrypt_vec_rev if rev else self._encrypt_vec
-        return fn(self._require_keys().sk, jax.random.PRNGKey(seed),
+        return fn(self._require_keys().sk, _prng_key(seed),
                   jnp.asarray(vec, dtype=jnp.int32))
 
     def dot_ct_pt(self, ct, vec_clear):
@@ -175,16 +203,30 @@ class FheRuntime:
         return self._decrypt_dot(self._require_keys().sk, ct, d)
 
     # -- Galois rotations / SIMD slots (ops/galois.py) ----------------------
-    def rotation_keys(self, seed: int = 0, levels=None):
+    def rotation_keys(self, seed: Optional[int] = None, levels=None):
         """Generate (and cache) rotation + row-flip Galois keys."""
         from . import galois
         if getattr(self, "_gkeys", None) is None:
             self._gkeys = galois.rotation_keygen(
-                self.ctx, self._require_keys().sk, jax.random.PRNGKey(seed),
+                self.ctx, self._require_keys().sk, _prng_key(seed),
                 levels=levels)
         return self._gkeys
 
-    def encrypt_slots(self, vals, seed: int = 0):
+    def _gkeys_for_level(self, level: int):
+        """Rotation keys guaranteed to cover `level`, generating the
+        missing per-level keyswitch keys on first use (rotation keys are
+        otherwise level-rigid: a modulus-switched ciphertext would
+        KeyError on gkeys.keys[(g, l)])."""
+        from . import galois
+        gk = self.rotation_keys()
+        if not any(lv == level for (_, lv) in gk.keys):
+            extra = galois.rotation_keygen(
+                self.ctx, self._require_keys().sk, fresh_prng_key(),
+                levels=[level])
+            gk.keys.update(extra.keys)
+        return gk
+
+    def encrypt_slots(self, vals, seed: Optional[int] = None):
         """Encrypt (..., 2, N/2) int32 SIMD slot values."""
         from . import galois
         import numpy as np
@@ -197,10 +239,12 @@ class FheRuntime:
 
     def rotate_slots(self, ct, k: int):
         from . import galois
-        return galois.rotate_slots(self.ctx, self.rotation_keys(), ct, k)
+        return galois.rotate_slots(self.ctx, self._gkeys_for_level(ct.level),
+                                   ct, k)
 
     def dot_ct_ct_slots(self, ct_a, ct_b):
         """Fully encrypted slotwise inner product (rotate-and-sum)."""
         from . import galois
         return galois.dot_ct_ct_slots(self.ctx, self._require_keys().rlk.keys,
-                                      self.rotation_keys(), ct_a, ct_b)
+                                      self._gkeys_for_level(ct_a.level),
+                                      ct_a, ct_b)

@@ -17,6 +17,7 @@ import hashlib
 import io
 import json
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -99,7 +100,12 @@ class EncryptedDocumentStore:
             self.index = json.loads(self.index_path.read_text())
 
     def _flush_index(self) -> None:
-        self.index_path.write_text(json.dumps(self.index, indent=2))
+        # Atomic: write a temp file then rename, so a crash mid-write can
+        # never corrupt the whole store index (same discipline as the C++
+        # arena codec, native.py).
+        tmp = self.index_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(self.index, indent=2))
+        os.replace(tmp, self.index_path)
 
     def _doc_path(self, doc_id: str) -> Path:
         safe = hashlib.sha256(doc_id.encode()).hexdigest()[:16]
