@@ -118,6 +118,75 @@ def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     return acc0, acc1
 
 
+def _div_special(ctx: CryptoContext, ht, x_ntt, l: int):
+    """Exact divide-by-P: NTT-domain polys over Q_l*P -> over Q_l.
+
+    Same rounding as mod_switch: subtract delta with delta ≡ x (mod P),
+    delta ≡ 0 (mod t), delta centered-small, then multiply by P^{-1}.
+    Because hybrid keys encrypt P*target, the division leaves the
+    message term intact (no pt_corr change); the keyswitch noise
+    shrinks by ~P.
+    """
+    x = ntt_inv(ht.plan, x_ntt)                       # (..., l+1, N)
+    sp, sp_pinv = ht.p[l, 0], ht.pinv[l, 0]
+    u = mont_mul(x[..., l, :], ht.t_inv_mont_sp[0, 0], sp, sp_pinv)
+    rest = x[..., :l, :]
+    p, pinv = ctx.lp(l), ctx.lpinv(l)
+    w = barrett_reduce(u[..., None, :], p, ctx.mu_p[:l])
+    w = jnp.where(u[..., None, :] > ht.sp_half[0, 0],
+                  sub_mod(w, ht.sp_mod_pi, p), w)
+    delta = mont_mul(w, ctx.t_mont_p[:l], p, pinv)
+    out = mont_mul(sub_mod(rest, delta, p), ht.inv_sp_mont, p, pinv)
+    return ntt_fwd(ctx.plan, out)
+
+
+def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
+    """Hybrid (GHS/SEAL) keyswitch: digits over Q_l*P, then divide by P.
+
+    ksk: (n_dig, 2, l+1, N) Montgomery hybrid key
+    (cipher.hybrid_keyswitch_key); c_ntt: (..., l, N) NTT-domain poly
+    whose key component is being switched.  n_dig = l (full-limb CRT
+    digits) or 2l (16-bit sub-digits, re-keying).  Returns (d0, d1)
+    NTT-domain polys over Q_l.
+    """
+    ht = ctx.hybrid(l)
+    pe, pinve = ht.p, ht.pinv
+    n_dig = ksk.shape[0]
+    d_per = n_dig // l
+    c_coeff = ntt_inv(ctx.plan, c_ntt)                # (..., l, N)
+    if d_per == 1:
+        # Full-limb CRT digits, broadcast-reduced to the extended chain.
+        d_res = barrett_reduce(c_coeff[..., :, None, :], pe, ht.mu)
+    else:
+        assert d_per == 2, "only 16-bit sub-digits are supported"
+        lo = c_coeff & jnp.uint32(0xFFFF)
+        hi = c_coeff >> 16
+        d = jnp.stack([lo, hi], axis=-2)              # (..., l, 2, N)
+        d = d.reshape(d.shape[:-3] + (n_dig, ctx.n))
+        # Digits < 2^16 < every prime: residues are the values themselves
+        # (materialized per extended limb — the NTT twiddles differ).
+        d_res = jnp.broadcast_to(d[..., :, None, :],
+                                 d.shape[:-1] + (l + 1, ctx.n))
+    d_ntt = ntt_fwd(ht.plan, d_res)                   # (..., n_dig, l+1, N)
+    acc0 = acc1 = None
+    for j in range(n_dig):
+        t0 = mont_mul(d_ntt[..., j, :, :], ksk[j, 0], pe, pinve)
+        t1 = mont_mul(d_ntt[..., j, :, :], ksk[j, 1], pe, pinve)
+        acc0 = t0 if acc0 is None else add_mod(acc0, t0, pe)
+        acc1 = t1 if acc1 is None else add_mod(acc1, t1, pe)
+    out = _div_special(ctx, ht, jnp.stack([acc0, acc1], axis=-3), l)
+    return out[..., 0, :, :], out[..., 1, :, :]
+
+
+def keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
+    """Dispatch on key shape: hybrid ((n, 2, l+1, N)) vs plain gadget
+    ((l, 2, l, N)).  All keyswitch consumers (relinearize, rekey,
+    Galois) go through here, so both key formats interoperate."""
+    if ksk.shape[-2] == l + 1:
+        return hybrid_keyswitch_apply(ctx, ksk, c_ntt, l)
+    return gadget_keyswitch_apply(ctx, ksk, c_ntt, l)
+
+
 def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
     """Degree-2 -> degree-1 via the CRT-idempotent gadget.
 
@@ -127,9 +196,9 @@ def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
     """
     assert ct.k == 3 and ct.is_ntt
     l = ct.level
-    rk = rlk_keys[l]                       # (l, 2, l, N), Montgomery form
+    rk = rlk_keys[l]                       # hybrid or gadget key
     p = ctx.lp(l)
-    d0, d1 = gadget_keyswitch_apply(ctx, rk, ct.data[..., 2, :, :], l)
+    d0, d1 = keyswitch_apply(ctx, rk, ct.data[..., 2, :, :], l)
     acc0 = add_mod(ct.data[..., 0, :, :], d0, p)
     acc1 = add_mod(ct.data[..., 1, :, :], d1, p)
     return Ciphertext(jnp.stack([acc0, acc1], axis=-3), l, True, ct.pt_corr)
@@ -146,7 +215,7 @@ def rekey(ctx: CryptoContext, ksk, ct: Ciphertext) -> Ciphertext:
     """
     assert ct.k == 2 and ct.is_ntt
     l = ct.level
-    d0, d1 = gadget_keyswitch_apply(ctx, ksk, ct.data[..., 1, :, :], l)
+    d0, d1 = keyswitch_apply(ctx, ksk, ct.data[..., 1, :, :], l)
     c0 = add_mod(ct.data[..., 0, :, :], d0, ctx.lp(l))
     return Ciphertext(jnp.stack([c0, d1], axis=-3), l, True, ct.pt_corr)
 

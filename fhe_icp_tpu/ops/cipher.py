@@ -118,11 +118,17 @@ def centered_residues(ctx: CryptoContext, v, l: int):
     return jnp.where(v[..., None, :] >= 0, vu, vu + p)
 
 
+def sample_uniform_primes(key, shape, prime_list, n: int):
+    """Uniform residues in [0, p_j) over an explicit prime chain."""
+    maxval = jnp.asarray(np.asarray(prime_list, dtype=np.int32)[:, None])
+    r = jax.random.randint(key, shape + (len(prime_list), n), 0, maxval,
+                           dtype=jnp.int32)
+    return r.astype(U32)
+
+
 def sample_uniform(ctx: CryptoContext, key, shape, l: int):
     """Uniform residues in [0, p_j) — a uniform ring element by CRT."""
-    maxval = jnp.asarray(np.asarray(ctx.primes[:l], dtype=np.int32)[:, None])
-    r = jax.random.randint(key, shape + (l, ctx.n), 0, maxval, dtype=jnp.int32)
-    return r.astype(U32)
+    return sample_uniform_primes(key, shape, ctx.primes[:l], ctx.n)
 
 
 def sample_cbd(ctx: CryptoContext, key, shape):
@@ -176,6 +182,69 @@ def gadget_keyswitch_key(ctx: CryptoContext, key, s_ntt_mont,
     return to_mont(rk, p_lv, pinv_lv, r2_lv)
 
 
+def hybrid_keyswitch_key(ctx: CryptoContext, key, sk: SecretKey,
+                         target_ntt, lv: int, digit_bits: int = 0):
+    """(n_dig, 2, lv+1, N) uint32 Montgomery hybrid keyswitch key.
+
+    GHS/SEAL-style keyswitching with one special prime P (SURVEY.md
+    §7.3 #3): keys live over the EXTENDED modulus Q_lv * P (special
+    limb LAST) and digit (j, h) is a symmetric encryption under s of
+
+        P * B^h * E_j * target        (B = 2^digit_bits)
+
+    where E_j is the CRT idempotent over Q_lv (1 mod p_j, 0 mod p_i and
+    0 mod P).  After digit accumulation, arith.hybrid_keyswitch_apply
+    divides by P with exact rounding, shrinking the keyswitch noise by
+    ~P ≈ 2^31 vs the plain gadget — this is what makes ct x ct compare
+    fit 2-limb parameter sets and keeps re-keyed ciphertexts
+    multiplication-grade.
+
+    digit_bits=0 uses one full-limb CRT digit per limb (cheapest; noise
+    ~ p_max/P ≈ 1 error unit per digit — right for relinearization and
+    Galois keys, whose noise lands on an already-noisy product).
+    digit_bits=16 splits each limb residue into two 16-bit digits
+    (2x work; noise ~ 2^16/P ≈ 2^-15 error units — right for RE-KEYING,
+    whose output must stay fresh-quality because it feeds future
+    multiplications).
+
+    `target_ntt` is the (lv, N) normal-form NTT-domain poly being
+    switched FROM (s^2 for relinearization, tau_g(s) for Galois
+    rotations, old_s for re-keying).  `sk` is the ENCRYPTING secret;
+    its coefficient form extends it to the special limb.
+    """
+    ht = ctx.hybrid(lv)
+    pe, pinve, r2e = ht.p, ht.pinv, ht.r2
+    n_ext = lv + 1
+    sp = ctx.params.special_prime
+
+    # Secret over the extended chain (NTT domain, Montgomery form).
+    s = sk.s
+    su = s.astype(U32)[..., None, :]
+    s_res = jnp.where(s[..., None, :] >= 0, su, su + pe)
+    s_m = to_mont(ntt_fwd(ht.plan, s_res), pe, pinve, r2e)
+
+    d_per = 1 if digit_bits == 0 else -(-31 // digit_bits)
+    per_digit = []
+    for j in range(lv):
+        p_j = ctx.primes[j]
+        for h in range(d_per):
+            key, ka, ke = jax.random.split(key, 3)
+            a = sample_uniform_primes(ka, (), ht.plan.primes, ctx.n)
+            e = sample_cbd(ctx, ke, ())
+            eu = e.astype(U32)[..., None, :]
+            e_res = jnp.where(e[..., None, :] >= 0, eu, eu + pe)
+            te = mont_mul(e_res, ht.t_mont, pe, pinve)
+            b = sub_mod(ntt_fwd(ht.plan, te), mont_mul(a, s_m, pe, pinve), pe)
+            # Add P * B^h * target at limb j only (0 elsewhere and mod P).
+            mult = sp * pow(2, digit_bits * h, p_j) % p_j
+            add_j = mont_mul(target_ntt[j], jnp.uint32(mult * (1 << 32) % p_j),
+                             jnp.uint32(p_j), ctx.p_neg_inv[j, 0])
+            b = b.at[j].set(add_mod(b[j], add_j, jnp.uint32(p_j)))
+            per_digit.append(jnp.stack([b, a]))
+    rk = jnp.stack(per_digit)                      # (n_dig, 2, lv+1, N)
+    return to_mont(rk, pe, pinve, r2e)
+
+
 def rekey_keygen(ctx: CryptoContext, key, old_sk: SecretKey,
                  new_sk: SecretKey, levels: Optional[list] = None
                  ) -> Dict[int, jnp.ndarray]:
@@ -188,11 +257,12 @@ def rekey_keygen(ctx: CryptoContext, key, old_sk: SecretKey,
     loadable (/root/reference/key_management.py:243-268) and leaves the
     store bound to the retired key forever.
 
-    The key material is the same gadget keyswitch construction as
-    relinearization (digit j encrypts E_j * old_s under new_s); like an
-    RLWE public key it is safe to store unencrypted.  Level 1 is
-    excluded: the CRT-idempotent gadget's keyswitch noise needs at least
-    one spare limb of headroom (same constraint as relinearization).
+    The key material is the hybrid keyswitch construction with FINE
+    (16-bit) digits: re-keyed ciphertexts gain < 1 error unit of noise,
+    so they remain multiplication-grade — compare/search over a
+    migrated store behaves exactly like a fresh one.  Like an RLWE
+    public key the material is safe to store unencrypted.  Level 1 is
+    excluded: keyswitching below level 2 has no noise headroom.
     """
     l = ctx.n_limbs
     levels = list(levels) if levels is not None else list(range(2, l + 1))
@@ -202,8 +272,8 @@ def rekey_keygen(ctx: CryptoContext, key, old_sk: SecretKey,
         key, k_lv = jax.random.split(key)
         old_s_ntt = mont_mul(old_sk.s_ntt_mont[:lv], jnp.uint32(1),
                              ctx.lp(lv), ctx.lpinv(lv))   # normal form
-        out[lv] = gadget_keyswitch_key(ctx, k_lv, new_sk.s_ntt_mont,
-                                       old_s_ntt, lv)
+        out[lv] = hybrid_keyswitch_key(ctx, k_lv, new_sk, old_s_ntt, lv,
+                                       digit_bits=16)
     return out
 
 
@@ -232,14 +302,14 @@ def keygen(ctx: CryptoContext, key, rlk_levels: Optional[list] = None) -> KeySet
     as_ntt = mont_mul(a_ntt, s_ntt_mont, ctx.lp(l), ctx.lpinv(l))
     pk = PublicKey(b_ntt=sub_mod(te_ntt, as_ntt, ctx.lp(l)), a_ntt=a_ntt)
 
-    # Relinearization keys per level (keyswitch keys for s^2 -> s).
+    # Relinearization keys per level (hybrid keyswitch keys s^2 -> s).
     levels = rlk_levels if rlk_levels is not None else list(range(2, l + 1))
     rlk_keys: Dict[int, jnp.ndarray] = {}
     for lv in levels:
         k_rlk, k_lv = jax.random.split(k_rlk)
         s2 = mont_mul(s2_ntt_mont[:lv], jnp.uint32(1),
                       ctx.lp(lv), ctx.lpinv(lv))       # normal form
-        rlk_keys[lv] = gadget_keyswitch_key(ctx, k_lv, s_ntt_mont, s2, lv)
+        rlk_keys[lv] = hybrid_keyswitch_key(ctx, k_lv, sk, s2, lv)
 
     return KeySet(sk=sk, pk=pk, rlk=RelinKey(keys=rlk_keys))
 

@@ -62,7 +62,7 @@ class HybridTables:
     pinv: jnp.ndarray            # (l+1, 1) Montgomery -p^{-1}
     r2: jnp.ndarray              # (l+1, 1) R^2 mod p
     mu: jnp.ndarray              # (l+1, 1) Barrett mu
-    p_mod_pj: jnp.ndarray        # (l, 1)  P mod p_j (for P*target in keygen)
+    t_mont: jnp.ndarray          # (l+1, 1) t*R mod p (payload scaling)
     # --- divide-by-P (drop the special limb) ---
     t_inv_mont_sp: jnp.ndarray   # (1,1) [t^{-1}]_P, mont-of-P
     sp_half: jnp.ndarray         # (1,1) P // 2
@@ -166,10 +166,19 @@ class CryptoContext:
         if cached is not None:
             return cached
         assert 2 <= l <= self.n_limbs
+        # The first call may happen inside a jit trace (keygen/relin are
+        # jitted); force concrete constant arrays so caching them does
+        # not leak tracers into later traces.
+        import jax
+        with jax.ensure_compile_time_eval():
+            tables = self._build_hybrid(l)
+        self.cache[key] = tables
+        return tables
+
+    def _build_hybrid(self, l: int) -> HybridTables:
         sp = self.params.special_prime
         ext = tuple(self.primes[:l]) + (sp,)
         mc = [pr.mont_constants(p) for p in ext]
-        spc = pr.mont_constants(sp)
         t = self.t
         tables = HybridTables(
             l=l,
@@ -178,14 +187,13 @@ class CryptoContext:
             pinv=_col([c["p_neg_inv"] for c in mc]),
             r2=_col([c["r2_mod_p"] for c in mc]),
             mu=_col([pr.barrett_mu(p) for p in ext]),
-            p_mod_pj=_col([sp % p for p in self.primes[:l]]),
+            t_mont=_col([t * (1 << 32) % p for p in ext]),
             t_inv_mont_sp=_col([pow(t, -1, sp) * (1 << 32) % sp]),
             sp_half=_col([sp // 2]),
             sp_mod_pi=_col([sp % p for p in self.primes[:l]]),
             inv_sp_mont=_col([pow(sp, -1, p) * (1 << 32) % p
                               for p in self.primes[:l]]),
         )
-        self.cache[key] = tables
         return tables
 
     # -- convenience slices for a given level ------------------------------

@@ -33,9 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .arith import gadget_keyswitch_apply
+from .arith import keyswitch_apply
 from .cipher import (Ciphertext, SecretKey, centered_residues,
-                     gadget_keyswitch_key)
+                     hybrid_keyswitch_key)
 from .context import CryptoContext
 from .modmath import mont_mul, to_mont
 from .ntt import build_plan, ntt_fwd, ntt_inv
@@ -142,8 +142,7 @@ def galois_keygen(ctx: CryptoContext, sk: SecretKey, key, gs,
             p, pinv = ctx.lp(lv), ctx.lpinv(lv)
             s_tau = apply_auto_ntt(ctx, sk.s_ntt_mont[:lv], g)
             s_tau = mont_mul(s_tau, jnp.uint32(1), p, pinv)   # normal form
-            out[(g, lv)] = gadget_keyswitch_key(ctx, k_g, sk.s_ntt_mont,
-                                                s_tau, lv)
+            out[(g, lv)] = hybrid_keyswitch_key(ctx, k_g, sk, s_tau, lv)
     return GaloisKeys(out)
 
 
@@ -166,7 +165,7 @@ def apply_galois(ctx: CryptoContext, gkeys: GaloisKeys, ct: Ciphertext,
     ksk = gkeys.keys[(g, l)]
     c0 = apply_auto_ntt(ctx, ct.data[..., 0, :, :], g)
     c1 = apply_auto_ntt(ctx, ct.data[..., 1, :, :], g)
-    d0, d1 = gadget_keyswitch_apply(ctx, ksk, c1, l)
+    d0, d1 = keyswitch_apply(ctx, ksk, c1, l)
     from .modmath import add_mod
     c0 = add_mod(c0, d0, ctx.lp(l))
     return Ciphertext(jnp.stack([c0, d1], axis=-3), l, True, ct.pt_corr)

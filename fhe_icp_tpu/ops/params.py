@@ -26,8 +26,18 @@ from . import primes as pr
 # Max log2(q) for 128-bit security with ternary secret (HE standard 2018).
 _MAX_LOG_Q_128 = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
 
-# Plaintext modulus shared by all presets: largest prime < 2^30, ≡ 1 mod 2^16.
+# Default plaintext modulus: largest prime < 2^30, ≡ 1 mod 2^16.
 T_MODULUS = pr.ntt_primes(1, bits=30)[0]
+
+# Compact plaintext modulus for 2-limb ct x ct parameter sets: the
+# smallest prime ≡ 1 (mod 2^16) above 2^23.  The scale-1000 quantized
+# similarity contract needs |score| <= ~1.1e6 (L2-normalized embeddings,
+# /root/reference/embedding_utils.py:42-44), so t/2 ≈ 4.26e6 leaves 4x
+# headroom — while t^2 * e1*e2 ≈ 2^58, the dominant ct x ct noise term,
+# fits the 2^62 two-limb budget (t = 2^30 needs 2^72 and CANNOT multiply
+# at 2 limbs).  Still ≡ 1 mod 2N for every ring: SIMD slots keep working.
+T_COMPACT = 8519681
+assert T_COMPACT == 130 * 65536 + 1
 
 
 @dataclass(frozen=True)
@@ -101,10 +111,12 @@ PRESETS = {
                                   allow_insecure=True),
     # Default for the encrypted-similarity pipeline.  2 limbs + the
     # special prime: log(Q*P) = 93 <= 109 keeps 128-bit security, and
-    # hybrid keyswitching makes ct x ct compare + relinearization (and
-    # homomorphic re-keying) fit the 2^62 budget — fresh ciphertexts are
-    # a third smaller than the earlier 3-limb variant.
-    "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=2),
+    # hybrid keyswitching + the compact plaintext modulus make ct x ct
+    # compare + relinearization (and homomorphic re-keying) fit the 2^62
+    # budget — fresh ciphertexts are a third smaller than the earlier
+    # 3-limb variant.
+    "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=2,
+                                  t=T_COMPACT),
     # ct x ct multiplication + relinearization headroom.
     "mult-8192": CryptoParams("mult-8192", n=8192, n_limbs=6),
     # Large-ring configuration (BASELINE.json config 4).
