@@ -54,9 +54,19 @@ def main() -> None:
     slots = pack.slots_per_ct(ctx.n, dim)          # 32 docs / ciphertext
     batch = groups * slots                         # 65,536 docs / step
 
+    # Contract-range data: the pipeline quantizes L2-normalized embeddings
+    # at scale=1000 (utils/quantize.py, /root/reference/embedding_utils.py:
+    # 42-44), bounding every dot product by ~1000*1000 = 1e6 — well inside
+    # T_COMPACT's t/2 ~ 4.26e6 decode range.  (Unnormalized integers in
+    # [-1000, 1000] would overflow the plaintext modulus: |dot| up to
+    # 1.28e8.)
     rng = np.random.default_rng(0)
-    docs = rng.integers(-1000, 1001, size=(batch, dim)).astype(np.int32)
-    query = rng.integers(-1000, 1001, size=(dim,)).astype(np.int32)
+    def quantized_unit(shape):
+        v = rng.standard_normal(shape)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return np.round(v * 1000.0).astype(np.int32)
+    docs = quantized_unit((batch, dim))
+    query = quantized_unit((dim,))
 
     polys = pack.encode_packed(
         jnp.asarray(docs.reshape(groups, slots, dim)), ctx.n)

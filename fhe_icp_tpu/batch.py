@@ -225,8 +225,9 @@ class BatchProcessor:
                     key_id=self.key_id or "",
                     metadata=meta,
                 )
-                self.storage.save(doc)
+                self.storage.save(doc, flush=False)
                 done.append(doc_id)
+            self.storage.flush_index()              # one index write/batch
             if (self.config.force_gc
                     and len(done) % self.config.checkpoint_interval == 0):
                 gc.collect()
@@ -434,8 +435,9 @@ def rekey_documents(storage: EncryptedDocumentStore,
             for i, doc in enumerate(group):
                 doc.ct_data = out[i]
                 doc.key_id = new_key_id
-                storage.save(doc)
+                storage.save(doc, flush=False)
                 done += 1
+        storage.flush_index()                       # one index write/batch
     logger.info("re-keyed %d documents %s -> %s", done, old_key_id,
                 new_key_id)
     return done

@@ -199,13 +199,17 @@ def hybrid_keyswitch_key(ctx: CryptoContext, key, sk: SecretKey,
     fit 2-limb parameter sets and keeps re-keyed ciphertexts
     multiplication-grade.
 
-    digit_bits=0 uses one full-limb CRT digit per limb (cheapest; noise
-    ~ p_max/P ≈ 1 error unit per digit — right for relinearization and
-    Galois keys, whose noise lands on an already-noisy product).
+    digit_bits=0 uses one full-limb CRT digit per limb (cheapest; digit
+    noise ~ p_max/P ≈ 1 error unit per digit — right for relinearization
+    and Galois keys, whose noise lands on an already-noisy product).
     digit_bits=16 splits each limb residue into two 16-bit digits
-    (2x work; noise ~ 2^16/P ≈ 2^-15 error units — right for RE-KEYING,
-    whose output must stay fresh-quality because it feeds future
-    multiplications).
+    (2x work; digit noise ~ 2^16/P ≈ 2^-15 error units — right for
+    RE-KEYING, which must stay near fresh quality because it feeds
+    future multiplications).  In BOTH modes the floor is the divide-by-P
+    rounding (arith._div_special): ~0.5 error units per coefficient
+    reaching the phase through s (ternary, ~sqrt(N) spread) — measured
+    2 bits of budget at pairwise-4096, asserted in
+    tests/test_production_preset.py::test_rekey_exact_and_fresh_quality.
 
     `target_ntt` is the (lv, N) normal-form NTT-domain poly being
     switched FROM (s^2 for relinearization, tau_g(s) for Galois
@@ -214,7 +218,6 @@ def hybrid_keyswitch_key(ctx: CryptoContext, key, sk: SecretKey,
     """
     ht = ctx.hybrid(lv)
     pe, pinve, r2e = ht.p, ht.pinv, ht.r2
-    n_ext = lv + 1
     sp = ctx.params.special_prime
 
     # Secret over the extended chain (NTT domain, Montgomery form).

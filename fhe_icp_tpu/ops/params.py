@@ -9,10 +9,17 @@ Design constraints baked in:
 * limb primes p in (2^30, 2^31), p ≡ 1 (mod 2^16): NTT-friendly for every
   ring size up to N=32768, fit uint32 with lazy-add headroom, and are big
   enough that floor(2^56/p) fits uint32 (exact RNS decode, see context.py).
-* plaintext modulus t: largest prime < 2^30 with t ≡ 1 (mod 2^16) — holds
-  the full scale-1000 quantized dot-product range (|score| <= 128e6, see
-  /root/reference/embedding_utils.py:42-44) and is NTT-friendly for
-  future SIMD packing.
+* plaintext modulus t: two tiers.  T_MODULUS (largest prime < 2^30,
+  ≡ 1 mod 2^16) gives maximal integer range for presets with limb
+  headroom.  The DEFAULT preset uses T_COMPACT (~2^23) instead: the
+  scale-1000 quantization contract (/root/reference/embedding_utils.py:
+  42-44) L2-normalizes before scaling, so every similarity score is
+  bounded by ~1.1e6 — far under T_COMPACT/2 ≈ 4.26e6 — and the smaller t
+  is what lets ct x ct multiplication fit a 2-limb modulus.  Both are
+  ≡ 1 (mod 2^16): NTT-friendly for SIMD slot packing at every ring size.
+  CALLERS MUST RESPECT THE CONTRACT: feeding unnormalized integer
+  vectors into the default preset wraps mod t (this exact mistake broke
+  the round-2 benchmark; see tests/test_production_preset.py).
 """
 
 from __future__ import annotations

@@ -111,7 +111,10 @@ class EncryptedDocumentStore:
         safe = hashlib.sha256(doc_id.encode()).hexdigest()[:16]
         return self.dir / f"{safe}.enc"
 
-    def save(self, doc: EncryptedDocument) -> None:
+    def save(self, doc: EncryptedDocument, flush: bool = True) -> None:
+        """Persist one document.  Batch writers pass flush=False and call
+        flush_index() once per batch — index.json is rewritten whole on
+        every flush, so per-doc flushing is O(n^2) over an ingest."""
         doc.validate()
         raw = doc.to_bytes()
         path = self._doc_path(doc.doc_id)
@@ -125,6 +128,11 @@ class EncryptedDocumentStore:
             "key_id": doc.key_id,
             "metadata": doc.metadata,
         }
+        if flush:
+            self._flush_index()
+
+    def flush_index(self) -> None:
+        """Atomically persist the index (see save(flush=False))."""
         self._flush_index()
 
     def load(self, doc_id: str) -> EncryptedDocument:

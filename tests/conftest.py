@@ -23,3 +23,10 @@ jax.config.update("jax_platforms", "cpu")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: production-parameter-set tests (real ring sizes; minutes "
+        "on CPU). Deselect with -m 'not slow' for a quick iteration loop.")

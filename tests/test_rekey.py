@@ -144,8 +144,9 @@ class TestRekey:
 
         n = proc2.rekey_store(old_key)
         assert n == len(ids)
-        assert proc.storage.index["a"]["key_id"] == proc2.key_id \
-            or proc2.storage.index["a"]["key_id"] == proc2.key_id
+        # rekey_store ran on proc2, so ITS store index must carry the new
+        # key id (proc's in-memory index is a stale pre-migration view).
+        assert proc2.storage.index["a"]["key_id"] == proc2.key_id
         score_after = proc2.compare_encrypted("a", "b")
         # Keyswitch noise is additive and well inside the budget: the
         # decrypted integer dot product — hence the score — is EXACT.
