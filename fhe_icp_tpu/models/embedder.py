@@ -89,19 +89,26 @@ class FlaxBertEmbedder:
     dim = 768
 
     def __init__(self, model_name: str = "bert-base-uncased",
-                 max_length: int = 100):
+                 max_length: int = 100, tokenizer=None, model=None):
         import os
 
-        from transformers import AutoTokenizer, FlaxBertModel  # lazy
         self.max_length = min(max_length, 512)
-        # Default to cached weights only: without this, a machine with no
-        # egress spends ~40s per process in HF retry/backoff loops before
-        # falling back.  Set FHE_ALLOW_DOWNLOAD=1 to fetch from the hub.
-        local_only = os.environ.get("FHE_ALLOW_DOWNLOAD") != "1"
-        self.tokenizer = AutoTokenizer.from_pretrained(
-            model_name, local_files_only=local_only)
-        self.model = FlaxBertModel.from_pretrained(
-            model_name, local_files_only=local_only)
+        if tokenizer is not None and model is not None:
+            # Injected components (tests use a tiny-random FlaxBertModel;
+            # production injection allows locally fine-tuned weights).
+            self.tokenizer = tokenizer
+            self.model = model
+        else:
+            from transformers import AutoTokenizer, FlaxBertModel  # lazy
+            # Default to cached weights only: without this, a machine with
+            # no egress spends ~40s per process in HF retry/backoff loops
+            # before falling back.  FHE_ALLOW_DOWNLOAD=1 fetches from hub.
+            local_only = os.environ.get("FHE_ALLOW_DOWNLOAD") != "1"
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_name, local_files_only=local_only)
+            self.model = FlaxBertModel.from_pretrained(
+                model_name, local_files_only=local_only)
+        self.dim = int(self.model.config.hidden_size)
 
     def _forward(self, texts: List[str]):
         import jax.numpy as jnp

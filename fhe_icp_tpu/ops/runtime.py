@@ -51,6 +51,27 @@ def _prng_key(seed: Optional[int]):
     return fresh_prng_key() if seed is None else jax.random.PRNGKey(seed)
 
 
+def _ensure_cpu_platform() -> None:
+    """Make the CPU backend reachable when JAX_PLATFORMS pins an accelerator.
+
+    TPU tunnel environments pin JAX_PLATFORMS to the accelerator platform
+    only, which unregisters CPU — and `generate_keys(on="cpu")` then
+    silently falls back to the accelerator, where the keygen graph pays
+    minutes of REMOTE compile (measured ~390 s at pairwise-4096 in round
+    2 vs seconds on CPU).  Appending ",cpu" keeps the accelerator the
+    default device while making `jax.devices("cpu")` work.  Must run
+    before JAX initializes backends; harmless afterwards (the update is
+    simply ignored once backends exist).
+    """
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if not plats or "cpu" in plats.split(","):
+        return
+    try:
+        jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
+
+
 def _setup_compile_cache() -> None:
     """Persistent XLA compilation cache, scoped per backend.
 
@@ -64,6 +85,7 @@ def _setup_compile_cache() -> None:
     if _cache_ready or os.environ.get("FHE_JAX_CACHE", "1") != "1":
         return
     _cache_ready = True
+    _ensure_cpu_platform()
     try:
         base = os.path.expanduser(os.environ.get(
             "FHE_JAX_CACHE_DIR", "~/.cache/fhe_icp_tpu_jax"))
