@@ -128,6 +128,17 @@ def main() -> None:
               file=sys.stderr)
     except Exception as e:
         print(f"[roofline] unavailable: {e}", file=sys.stderr)
+    # Ciphertext-size accounting (live shapes): the 2-limb pairwise-4096
+    # preset's fresh ciphertexts are 1/3 smaller than round 1's 3-limb
+    # variant (the hybrid-keyswitch redesign), which cuts encrypt-side
+    # and scoring-side HBM traffic by the same ratio; slot packing then
+    # divides per-DOC bytes by S = N/d.
+    now_b = ctx.n_limbs * 2 * 4 * ctx.n            # fresh u32 ct bytes
+    old_b = 3 * 2 * 4 * ctx.n                      # round-1 3-limb ct
+    per_doc = ct_bytes / (groups * slots)          # packed digit operand
+    print(f"[ciphertext] fresh {now_b} B/ct ({1 - now_b / old_b:.0%} vs "
+          f"the 3-limb round-1 preset); packed scoring operand "
+          f"{per_doc:.0f} B/doc ({slots} docs/ct)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "encrypted_dot_products_per_s",

@@ -1,0 +1,66 @@
+"""Cold-start latency artifact: keygen + first BatchProcessor init.
+
+Round-2 verdict: cold `BatchProcessor.__init__` at the default preset
+took ~6.5 min on the TPU tunnel (the keygen graph remote-compiled on
+the accelerator because JAX_PLATFORMS pinned out the CPU backend);
+target < 90 s, reference keygen baseline 30-60 s
+(/root/reference/README.md:43).  The fix (ops/runtime.py
+`_ensure_cpu_platform` + generate_keys(on="cpu")) compiles and runs
+keygen on the host CPU and ships the key arrays to the accelerator.
+
+Run with a FRESH compile-cache dir to measure a true cold machine:
+
+    FHE_JAX_CACHE_DIR=$(mktemp -d)/cache python benchmarks/coldstart.py
+
+Writes benchmarks/coldstart_<backend>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import os
+    os.environ.setdefault("FHE_MASTER_PASSWORD", "coldstart-bench")
+
+    rec = {}
+    t0 = time.time()
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    import jax
+    rt = FheRuntime("pairwise-4096")
+    rec["runtime_init_s"] = round(time.time() - t0, 1)
+    rec["backend"] = jax.default_backend()
+    rec["device_kind"] = jax.devices()[0].device_kind
+
+    t0 = time.time()
+    rt.generate_keys(seed=0)
+    rec["keygen_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    from fhe_icp_tpu.batch import BatchProcessor
+    d = tempfile.mkdtemp()
+    proc = BatchProcessor(storage_dir=d + "/docs", key_dir=d + "/keys")
+    rec["cold_batchprocessor_init_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    ids = proc.encrypt_documents(["cold start document one",
+                                  "cold start document two"])
+    rec["first_encrypt_2_docs_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    proc.compare_encrypted(ids[0], ids[1])
+    rec["first_compare_s"] = round(time.time() - t0, 1)
+
+    out = Path(__file__).parent / f"coldstart_{rec['backend']}.json"
+    out.write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,9 +40,24 @@ def emit(rec: dict) -> None:
 
 
 def _rng_docs(b, d, seed=0):
+    """Contract-range operands: L2-normalized, scale-1000 quantized.
+
+    The pipeline quantizer (utils/quantize.py, mirroring
+    /root/reference/embedding_utils.py:42-44) normalizes before scaling,
+    bounding every dot product by ~1.1e6 — inside T_COMPACT's decode
+    range (t/2 ~ 4.26e6).  Raw integers in [-1000, 1000] would wrap mod
+    t at the default preset (|dot| up to 1.28e8) — the exact mistake
+    that invalidated the round-2 headline bench; the per-config
+    correctness gates below exist to catch it.
+    """
     rng = np.random.default_rng(seed)
-    return (rng.integers(-1000, 1001, size=(b, d)).astype(np.int32),
-            rng.integers(-1000, 1001, size=(d,)).astype(np.int32))
+
+    def qunit(shape):
+        v = rng.standard_normal(shape)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return np.round(v * 1000.0).astype(np.int32)
+
+    return qunit((b, d)), qunit((d,))
 
 
 def config1_single_compare():
@@ -246,8 +261,10 @@ def config5_sharded_search():
     polys = pack.encode_packed(
         jnp.asarray(docs.reshape(groups, slots, d)), ctx.n)
     ct = rt.encrypt(np.asarray(polys), seed=11)
-    doc_op = jax.jit(
-        lambda x: pack.make_packed_doc_operand(ctx, x, ct.level))(ct.data)
+    # Pad the group count at operand-build time (zero ciphertexts score
+    # 0) so the fused kernel's 64-group row blocks stream pad-free.
+    doc_op = jax.jit(lambda x: pack.make_packed_doc_operand(
+        ctx, x, ct.level, pad_groups_to=64))(ct.data)
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
                                           ct.level)
 

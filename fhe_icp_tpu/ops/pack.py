@@ -196,9 +196,20 @@ class PackedDocOperand:
         return self.digits.shape[1] // 4
 
 
-def make_packed_doc_operand(ctx: CryptoContext, ct_data,
-                            level: int) -> PackedDocOperand:
-    """(G, 2, L, N) u32 packed ciphertexts -> MXU-ready digit planes."""
+def make_packed_doc_operand(ctx: CryptoContext, ct_data, level: int,
+                            pad_groups_to: int = 1) -> PackedDocOperand:
+    """(G, 2, L, N) u32 packed ciphertexts -> MXU-ready digit planes.
+
+    `pad_groups_to` rounds the group count up with zero ciphertexts
+    (which score exactly 0) at operand-build time, so the fused scoring
+    kernel's 64-group row blocks need no per-call padding copy — the
+    right choice for long-lived stores (build once, score many).
+    """
+    if pad_groups_to > 1 and ct_data.shape[0] % pad_groups_to:
+        extra = pad_groups_to - ct_data.shape[0] % pad_groups_to
+        ct_data = jnp.concatenate(
+            [ct_data,
+             jnp.zeros((extra,) + ct_data.shape[1:], ct_data.dtype)])
     p = ctx.p[:level, :]                              # (L, 1)
     g = ct_data.shape[0]
     a = jnp.moveaxis(ct_data, 1, -2)                  # (G, L, 2, N)
@@ -288,7 +299,8 @@ def fold_separable(ctx: CryptoContext, part, l: int, slots: int):
 
 
 def packed_scores(ctx: CryptoContext, docs: PackedDocOperand,
-                  query: PackedQueryOperand, pt_corr: int = 1):
+                  query: PackedQueryOperand, pt_corr: int = 1,
+                  impl: str = "auto"):
     """(G, S) int32 exact per-slot scores of packed docs vs the query.
 
     One int8 matmul per limb with 4S output columns (128 at S=32 — full
@@ -296,17 +308,29 @@ def packed_scores(ctx: CryptoContext, docs: PackedDocOperand,
     separable digit fold + exact RNS decode.  Every reshape keeps the
     group axis G outermost, so sharding G over a mesh leaves the whole
     computation shard-local up to the final tiny score vector.
+
+    impl: "fused" runs matmul+fold as one Pallas kernel (ops/
+    pack_pallas.py — partials never touch HBM; the doc operand streams
+    once); "xla" uses plain dot_general + fold_separable; "auto" picks
+    fused on TPU backends and xla elsewhere (Pallas-on-CPU is
+    interpreter-only).  Both are bit-exact and oracle-gated.
     """
     l = docs.level
     assert query.level == l
     A = docs.digits                                   # (L, G*4, 2N)
     V = query.digits                                  # (L, 4, 2N, S)
     la, g, s = A.shape[0], docs.groups, query.slots
-    part = jax.lax.dot_general(
-        A,
-        jnp.transpose(V, (0, 2, 1, 3)).reshape(la, -1, 4 * s),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)             # (L, G*4, 4S) exact
-    acc = fold_separable(ctx, part, l, s)             # (L, G, S)
+    vmat = jnp.transpose(V, (0, 2, 1, 3)).reshape(la, -1, 4 * s)
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if impl == "fused":
+        from . import pack_pallas
+        acc = pack_pallas.packed_score_residues(ctx, A, vmat, l, s)
+    else:
+        part = jax.lax.dot_general(
+            A, vmat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # (L, G*4, 4S) exact
+        acc = fold_separable(ctx, part, l, s)         # (L, G, S)
     res = jnp.moveaxis(acc, 0, -1)[..., None]         # (G, S, L, 1)
     return rns_decode_centered(ctx, res, l, pt_corr)[..., 0]   # (G, S)

@@ -101,7 +101,8 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
                                top_k: int = 5, pt_corr: int = 1):
     """Slot-packed MXU search sharded over the document (group) axis.
 
-    Returns fn(doc_digits (L, G, 4, 2N) i8, query_digits (L, 4, 2N, S) i8)
+    Returns fn(doc_digits (L, G*4, 2N) i8 — PackedDocOperand.digits,
+    group-major rows — query_digits (L, 4, 2N, S) i8)
     -> (scores (G*S,) i32, topk_vals (k,) i32, topk_idx (k,) i32).
 
     Each packed ciphertext holds S = N/d documents (ops/pack.py), so a
@@ -114,11 +115,17 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
     rep = replicated(mesh)
     slots = pack.slots_per_ct(ctx.n, d)
 
+    # The fused Pallas scoring kernel (ops/pack_pallas.py) is a custom
+    # call XLA cannot auto-partition, so it is only eligible on a
+    # single-device mesh; sharded meshes use the XLA matmul+fold path,
+    # which partitions cleanly over the group axis.
+    impl = "auto" if mesh.devices.size == 1 else "xla"
+
     def step(doc_digits, query_digits, level: int):
         docs = pack.PackedDocOperand(doc_digits, level)
         q = pack.PackedQueryOperand(query_digits, level, d, slots)
-        scores = pack.packed_scores(ctx, docs, q, pt_corr)   # (G, S)
-        flat = scores.reshape(-1)
+        scores = pack.packed_scores(ctx, docs, q, pt_corr, impl=impl)
+        flat = scores.reshape(-1)                            # (G*S,)
         vals, idx = jax.lax.top_k(flat, top_k)
         return flat, vals, idx
 
