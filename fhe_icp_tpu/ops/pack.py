@@ -222,7 +222,13 @@ def make_packed_doc_operand(ctx: CryptoContext, ct_data, level: int,
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PackedQueryOperand:
-    """Folded per-slot query vectors as digit planes: (L, 4, 2N, S)."""
+    """Folded per-slot query digit planes in MATMUL layout: (L, 2N, 4S).
+
+    Column c = j*S + s is query-digit j of slot s — exactly the right
+    operand layout for the scoring dot_general / Pallas kernel, so the
+    per-step transpose of the (tiny but hot) query operand disappears;
+    it is paid once at operand build instead.
+    """
 
     digits: jnp.ndarray
     level: int = dataclass_field(metadata=dict(static=True))
@@ -252,7 +258,9 @@ def make_packed_query_operand(ctx: CryptoContext, sk: SecretKey, q_int,
     vv = jnp.concatenate([v, vs], axis=1)                      # (L, 2N, S)
     cen = center_residues(vv, p3)
     dig = balanced_digits(cen)                                 # (L, 2N, S, 4)
-    return PackedQueryOperand(jnp.transpose(dig, (0, 3, 1, 2)), l, d, slots)
+    vmat = jnp.transpose(dig, (0, 1, 3, 2)).reshape(           # (L, 2N, 4S)
+        l, 2 * ctx.n, 4 * slots)
+    return PackedQueryOperand(vmat, l, d, slots)
 
 
 def fold_separable(ctx: CryptoContext, part, l: int, slots: int):
@@ -318,9 +326,8 @@ def packed_scores(ctx: CryptoContext, docs: PackedDocOperand,
     l = docs.level
     assert query.level == l
     A = docs.digits                                   # (L, G*4, 2N)
-    V = query.digits                                  # (L, 4, 2N, S)
+    vmat = query.digits                               # (L, 2N, 4S)
     la, g, s = A.shape[0], docs.groups, query.slots
-    vmat = jnp.transpose(V, (0, 2, 1, 3)).reshape(la, -1, 4 * s)
     if impl == "auto":
         impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if impl == "fused":

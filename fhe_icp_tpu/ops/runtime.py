@@ -119,6 +119,7 @@ class FheRuntime:
         self.params = params
         self.ctx = CryptoContext(params)
         self.keys = keys
+        self._rlk_levels = rlk_levels
 
         ctx = self.ctx
         self._keygen = jax.jit(
@@ -154,7 +155,23 @@ class FheRuntime:
         is a one-shot host-side operation whose (large, digit-unrolled)
         graph can take minutes to compile on remote-compile TPU backends,
         vs seconds on CPU; the resulting arrays are pushed to the default
-        device afterwards."""
+        device afterwards.
+
+        When a tunnel PJRT plugin is active in-process it routes even
+        CPU-TARGET compiles through the remote service (measured: ~6 min
+        for this graph vs ~3 s locally), so keygen then runs in a clean
+        subprocess (ops/keygen_worker.py) with the plugin scrubbed —
+        bit-identical key material, seconds of wall clock.  Set
+        FHE_KEYGEN_SUBPROCESS=0 to force the in-process path.
+        """
+        if (on == "cpu"
+                and os.environ.get("FHE_KEYGEN_SUBPROCESS", "1") == "1"
+                and os.environ.get("PALLAS_AXON_POOL_IPS")
+                and jax.default_backend() != "cpu"):
+            ks = self._keygen_subprocess(seed)
+            if ks is not None:
+                self.keys = jax.device_put(ks, jax.devices()[0])
+                return self.keys
         try:
             dev = jax.devices(on)[0]
         except RuntimeError:
@@ -167,6 +184,53 @@ class FheRuntime:
             ks = jax.device_put(ks, default)
         self.keys = ks
         return self.keys
+
+    def _keygen_subprocess(self, seed: int) -> Optional[KeySet]:
+        """Run ops/keygen_worker.py in a plugin-free subprocess."""
+        import dataclasses
+        import json
+        import subprocess
+        import sys
+        import tempfile
+
+        import numpy as np
+
+        from .cipher import PublicKey, RelinKey, SecretKey
+        cfg = json.dumps({
+            "params": dataclasses.asdict(self.params),
+            "seed": int(seed),
+            "rlk_levels": self._rlk_levels,
+        })
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "PALLAS_AXON_POOL_IPS")}
+        env["JAX_PLATFORMS"] = "cpu"
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo_root
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                out = os.path.join(td, "keys.npz")
+                r = subprocess.run(
+                    [sys.executable, "-m", "fhe_icp_tpu.ops.keygen_worker",
+                     cfg, out],
+                    env=env, capture_output=True, timeout=600)
+                if r.returncode != 0:
+                    raise RuntimeError(r.stderr.decode()[-500:])
+                z = dict(np.load(out))
+        except Exception as e:  # fall back to the in-process path
+            import logging
+            logging.getLogger(__name__).warning(
+                "subprocess keygen failed (%s); using in-process path", e)
+            return None
+        sk = SecretKey(s=jnp.asarray(z["s"]),
+                       s_ntt_mont=jnp.asarray(z["s_ntt_mont"]),
+                       s2_ntt_mont=jnp.asarray(z["s2_ntt_mont"]))
+        pk = PublicKey(b_ntt=jnp.asarray(z["pk_b"]),
+                       a_ntt=jnp.asarray(z["pk_a"]))
+        rlk = RelinKey(keys={
+            int(k.split("_")[1]): jnp.asarray(v)
+            for k, v in z.items() if k.startswith("rlk_")})
+        return KeySet(sk=sk, pk=pk, rlk=rlk)
 
     def _require_keys(self) -> KeySet:
         if self.keys is None:

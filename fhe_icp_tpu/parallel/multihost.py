@@ -134,7 +134,7 @@ def search_host_shard(ctx, mesh, doc_digits, query_digits, d: int,
                       top_k: int = 5):
     """Score one host's shard and return its O(k) contribution.
 
-    doc_digits: this host's (L, G_local, 4, 2N) packed operand slice;
+    doc_digits: this host's (L, G_local*4, 2N) packed operand slice;
     the returned indices are GLOBAL document ids (shard offset applied,
     padding slots filtered).
     """

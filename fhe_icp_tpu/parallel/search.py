@@ -102,7 +102,7 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
     """Slot-packed MXU search sharded over the document (group) axis.
 
     Returns fn(doc_digits (L, G*4, 2N) i8 — PackedDocOperand.digits,
-    group-major rows — query_digits (L, 4, 2N, S) i8)
+    group-major rows — query_digits (L, 2N, 4S) i8 matmul layout)
     -> (scores (G*S,) i32, topk_vals (k,) i32, topk_idx (k,) i32).
 
     Each packed ciphertext holds S = N/d documents (ops/pack.py), so a

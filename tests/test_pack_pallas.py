@@ -45,8 +45,7 @@ def _operands(rt, groups, d=128, seed=0):
 def test_fused_residues_match_xla_fold(rt, groups):
     ctx, doc_op, q_op, docs, query, slots = _operands(rt, groups)
     la = doc_op.digits.shape[0]
-    vmat = jnp.transpose(q_op.digits, (0, 2, 1, 3)).reshape(
-        la, -1, 4 * slots)
+    vmat = q_op.digits                        # (L, 2N, 4S) matmul layout
     part = jax.lax.dot_general(
         doc_op.digits, vmat, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)
@@ -59,8 +58,7 @@ def test_fused_residues_match_xla_fold(rt, groups):
 def test_fused_scores_match_oracle(rt):
     ctx, doc_op, q_op, docs, query, slots = _operands(rt, groups=4)
     la = doc_op.digits.shape[0]
-    vmat = jnp.transpose(q_op.digits, (0, 2, 1, 3)).reshape(
-        la, -1, 4 * slots)
+    vmat = q_op.digits                        # (L, 2N, 4S) matmul layout
     acc = pack_pallas.packed_score_residues(
         ctx, doc_op.digits, vmat, doc_op.level, slots, interpret=True)
     res = jnp.moveaxis(acc, 0, -1)[..., None]

@@ -38,8 +38,7 @@ def _operands(rt, groups, d=128, seed=0):
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(query), d,
                                           ct.level)
     la = doc_op.digits.shape[0]
-    vmat = jnp.transpose(q_op.digits, (0, 2, 1, 3)).reshape(
-        la, -1, 4 * slots)
+    vmat = q_op.digits                        # (L, 2N, 4S) matmul layout
     return ctx, doc_op, q_op, vmat, docs, query, slots
 
 
