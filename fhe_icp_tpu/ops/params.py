@@ -46,6 +46,17 @@ T_MODULUS = pr.ntt_primes(1, bits=30)[0]
 T_COMPACT = 8519681
 assert T_COMPACT == 130 * 65536 + 1
 
+# Depth-oriented plaintext modulus: the Fermat prime 2^16 + 1.  BGV's
+# per-level noise floor after a modulus switch is ~t * sqrt(N); a ct x ct
+# product squares it, so each multiplication consumes ~2*log2(t) + log2(N)
+# bits of one-limb (31-bit) budget.  At t = 2^16 one 31-bit limb absorbs
+# one multiplication per level, giving multiplicative depth = n_limbs - 1
+# down the RNS chain — the leveled alternative to bootstrapping (which
+# the similarity workload never needs; see PARITY.md §depth).  Still
+# ≡ 1 (mod 2^16): SIMD slot packing works at every ring size.
+T_DEPTH = 65537
+assert T_DEPTH == (1 << 16) + 1
+
 
 @dataclass(frozen=True)
 class CryptoParams:
@@ -128,6 +139,12 @@ PRESETS = {
     "mult-8192": CryptoParams("mult-8192", n=8192, n_limbs=6),
     # Large-ring configuration (BASELINE.json config 4).
     "ring-16384": CryptoParams("ring-16384", n=16384, n_limbs=12),
+    # Deep-circuit configuration: same 128-bit-secure 12-limb ring, but
+    # with the depth-oriented plaintext modulus — supports an 11-deep
+    # chain of ct x ct multiplications (relinearize + modswitch per
+    # level), verified bit-exact in tests/test_depth.py.
+    "deep-16384": CryptoParams("deep-16384", n=16384, n_limbs=12,
+                               t=T_DEPTH),
 }
 
 DEFAULT_PRESET = "pairwise-4096"
