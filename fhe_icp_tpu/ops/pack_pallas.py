@@ -11,8 +11,8 @@ This kernel fuses matmul + digit fold per (limb, row-block) grid step:
 partials live only in VMEM/registers, the document digits are read from
 HBM exactly once, and the only HBM write is the (L, G, S) u32 residue
 tensor (0.5 MB vs 8.4 MB of partials).  The tiny exact RNS decode stays
-in XLA (one fused pass over 0.5 MB).  Measured: 0.199 ms/step — 675 GB/s
-effective, 82% of the v5e HBM spec, 329M encrypted dot-products/s.
+in XLA (one fused pass over 0.5 MB).  Measured: 0.183 ms/step — 732 GB/s
+effective, 89% of the v5e HBM spec, 357M encrypted dot-products/s.
 
 Kernel design notes (measured on chip, see round-3 commit history):
 * The epilogue runs at FULL 128-lane width: the separable digit weight
@@ -21,8 +21,10 @@ Kernel design notes (measured on chip, see round-3 commit history):
   the whole (RB, 4S) partial block applies BOTH folds' constants; what
   remains is six add_mod reductions (4 lane blocks, then 4 row phases).
   A narrow per-digit epilogue (32-lane ops) costs 2.4x more VPU time.
-* Row block 256 (64 groups) pipelines best: 512 works (+8%), 1024
-  overflows the 16 MB VMEM scoped limit with double buffering.
+* Row block 512 (128 groups) pipelines best (re-measured after the
+  matmul-layout query operand landed: 512 beats 256 by ~40% on chip —
+  0.186 vs 0.312 ms/step in an isolated probe); 1024 overflows the
+  16 MB VMEM scoped limit with double buffering.
 * Per-limb scalars (p, -p^-1, mu) ride one small SMEM table indexed by
   program_id; Shoup/Montgomery code is shared verbatim with the XLA
   path (ops/modmath.py is uint32-lane-only by design), so the kernel is
@@ -48,10 +50,10 @@ from .context import CryptoContext
 from .fastdot import N_DIGITS, _shift_consts
 from .modmath import U32, add_mod, barrett_reduce, mont_mul, neg_mod
 
-# Rows (doc digit planes) per grid step: 64 groups x 4 digits.  A block
-# is RB x 2N int8 = 2 MB at N=4096; two buffers pipeline well under the
+# Rows (doc digit planes) per grid step: 128 groups x 4 digits.  A block
+# is RB x 2N int8 = 4 MB at N=4096; two buffers pipeline well under the
 # 16 MB VMEM budget with the 1 MB query operand resident.
-_ROW_BLOCK = 256
+_ROW_BLOCK = 512
 
 
 def _fold_kernel(tab_ref, a_ref, v_ref, w_ref, out_ref, *, slots: int):
