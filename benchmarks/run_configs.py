@@ -262,9 +262,12 @@ def config5_sharded_search():
         jnp.asarray(docs.reshape(groups, slots, d)), ctx.n)
     ct = rt.encrypt(np.asarray(polys), seed=11)
     # Pad the group count at operand-build time (zero ciphertexts score
-    # 0) so the fused kernel's 64-group row blocks stream pad-free.
+    # 0) so the fused kernel's row blocks stream pad-free — otherwise the
+    # kernel zero-pads internally, costing an extra copy of the operand
+    # per call.
+    from fhe_icp_tpu.ops.pack_pallas import _ROW_BLOCK
     doc_op = jax.jit(lambda x: pack.make_packed_doc_operand(
-        ctx, x, ct.level, pad_groups_to=64))(ct.data)
+        ctx, x, ct.level, pad_groups_to=_ROW_BLOCK // 4))(ct.data)
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
                                           ct.level)
 
