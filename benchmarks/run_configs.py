@@ -272,7 +272,8 @@ def config5_sharded_search():
                                           ct.level)
 
     def timed_rate(mesh, digits):
-        step_full = make_sharded_packed_search(ctx, mesh, d=d, top_k=5)
+        step_full = make_sharded_packed_search(ctx, mesh, d=d, top_k=5,
+                                               n_docs=b)
 
         @jax.jit
         def step(dd, qd, tok):

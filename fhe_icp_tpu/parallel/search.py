@@ -98,7 +98,8 @@ def packed_operand_sharding(mesh) -> jax.sharding.NamedSharding:
 
 
 def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
-                               top_k: int = 5, pt_corr: int = 1):
+                               top_k: int = 5, pt_corr: int = 1,
+                               n_docs: int | None = None):
     """Slot-packed MXU search sharded over the document (group) axis.
 
     Returns fn(doc_digits (L, G*4, 2N) i8 — PackedDocOperand.digits,
@@ -109,7 +110,8 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
     shard of G/n_dp groups scores S times more documents per byte than
     the per-doc path; the per-chip matmul output is 4S = 128 columns —
     the full MXU lane width.  Top-k merges over the all-gathered flat
-    score vector, O(B) int32.
+    score vector, O(B) int32.  `n_docs` bounds the ranking to the first
+    n_docs scores when the operand carries zero-ciphertext padding.
     """
     ds = packed_operand_sharding(mesh)
     rep = replicated(mesh)
@@ -126,7 +128,14 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
         q = pack.PackedQueryOperand(query_digits, level, d, slots)
         scores = pack.packed_scores(ctx, docs, q, pt_corr, impl=impl)
         flat = scores.reshape(-1)                            # (G*S,)
-        vals, idx = jax.lax.top_k(flat, top_k)
+        # Operands padded with zero ciphertexts (pad_groups_to) score 0,
+        # which would beat real negative scores in top-k; mask the pad
+        # slots out of the ranking (flat itself stays unmasked).
+        ranked = flat
+        if n_docs is not None and n_docs < flat.shape[0]:
+            ranked = jnp.where(jnp.arange(flat.shape[0]) < n_docs, flat,
+                               jnp.iinfo(jnp.int32).min)
+        vals, idx = jax.lax.top_k(ranked, top_k)
         return flat, vals, idx
 
     return jax.jit(partial(step, level=ctx.n_limbs),

@@ -107,3 +107,37 @@ def test_sharded_matches_single_device(rt):
                                level=rt.ctx.n_limbs, top_k=2)
     sharded, _, _ = step(jax.device_put(cts.data, batch_sharding(mesh)), q)
     assert (np.asarray(sharded, np.int64) == single).all()
+
+
+def test_sharded_packed_search_pad_masking(rt):
+    """Zero-ciphertext operand padding must not outrank real (negative)
+    scores: n_docs bounds the top-k ranking while scores stay raw."""
+    from fhe_icp_tpu.ops import pack
+    from fhe_icp_tpu.parallel.search import (make_sharded_packed_search,
+                                             packed_operand_sharding)
+
+    d, k = 64, 3
+    ctx, sk = rt.ctx, rt.keys.sk
+    slots = pack.slots_per_ct(ctx.n, d)
+    batch = 8 * slots
+    mesh = make_mesh(8, shape=(8, 1))
+    # All-negative dot products: any unmasked zero-score pad doc would
+    # win the ranking.
+    docs = jnp.asarray(-RNG.integers(1, 500, size=(batch, d)),
+                       dtype=jnp.int32)
+    q = jnp.asarray(RNG.integers(1, 500, size=(d,)), dtype=jnp.int32)
+    truth = np.asarray(docs, np.int64) @ np.asarray(q, np.int64)
+    cts = rt.encrypt_vector(docs, seed=41)
+    packed = pack.pack_ciphertexts(ctx, cts.data, d, cts.level)
+    doc_op = pack.make_packed_doc_operand(ctx, packed, cts.level,
+                                          pad_groups_to=16)  # 8 -> 16
+    assert doc_op.groups == 16
+    q_op = pack.make_packed_query_operand(ctx, sk, q, d, cts.level)
+    step = make_sharded_packed_search(ctx, mesh, d=d, top_k=k,
+                                      n_docs=batch)
+    digits = jax.device_put(doc_op.digits, packed_operand_sharding(mesh))
+    scores, vals, idx = step(digits, q_op.digits)
+    assert (np.asarray(scores, np.int64)[:batch] == truth).all()
+    order = np.argsort(-truth)[:k]
+    assert (np.asarray(vals, np.int64) == truth[order]).all()
+    assert (np.asarray(idx) < batch).all()
