@@ -367,7 +367,19 @@ class BatchProcessor:
             return arith.mod_switch_to(ctx, ct, min(2, level))
 
         ct = jax.jit(build)(jnp.asarray(batch))
-        doc_op = pack.make_packed_doc_operand(ctx, ct.data, ct.level)
+        # On TPU the fused scoring kernel consumes whole row blocks; pad
+        # the operand once at build time (zero ciphertexts score 0 and
+        # are sliced off by the [:n_docs] consumers) so the kernel never
+        # re-pads — an extra full operand copy — on every search.  The
+        # CPU/XLA path has no block constraint, so padding there would
+        # only add work.
+        if jax.default_backend() == "tpu":
+            from .ops.pack_pallas import _ROW_BLOCK
+            pad_groups = _ROW_BLOCK // 4
+        else:
+            pad_groups = 1
+        doc_op = pack.make_packed_doc_operand(ctx, ct.data, ct.level,
+                                              pad_groups_to=pad_groups)
         self._op_cache = (sig, arena_ids, doc_op, len(arena_ids), ct.pt_corr)
         return arena_ids, doc_op, len(arena_ids), ct.pt_corr
 
