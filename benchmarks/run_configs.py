@@ -264,10 +264,11 @@ def config5_sharded_search():
     # Pad the group count at operand-build time (zero ciphertexts score
     # 0) so the fused kernel's row blocks stream pad-free — otherwise the
     # kernel zero-pads internally, costing an extra copy of the operand
-    # per call.
-    from fhe_icp_tpu.ops.pack_pallas import _ROW_BLOCK
+    # per call.  Pad-free streaming needs the PER-SHARD group count to be
+    # a multiple of PAD_GROUPS, hence the n_dev factor on sharded meshes.
+    from fhe_icp_tpu.ops.pack_pallas import PAD_GROUPS
     doc_op = jax.jit(lambda x: pack.make_packed_doc_operand(
-        ctx, x, ct.level, pad_groups_to=_ROW_BLOCK // 4))(ct.data)
+        ctx, x, ct.level, pad_groups_to=n_dev * PAD_GROUPS))(ct.data)
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
                                           ct.level)
 
@@ -325,15 +326,64 @@ def config5_sharded_search():
     emit(rec)
 
 
+def config6_ntt_throughput():
+    """NTT limb-mults/s — the BASELINE.json metric, fwd+inv, both rings.
+
+    One negacyclic limb-transform at size N costs N/2*log2(N) butterfly
+    Shoup multiplies plus N twist multiplies; `limb_mults_per_s` counts
+    those modular multiplies.  Batches are sized so the working set
+    (~25 MB at N=4096, ~50 MB at N=16384) streams from HBM.  Correctness
+    rides the suite's big-int oracles (tests/test_ntt.py); here a
+    roundtrip gate catches wiring mistakes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops.context import CryptoContext
+    from fhe_icp_tpu.ops.params import get_params
+    from fhe_icp_tpu.ops.ntt import ntt_fwd, ntt_inv
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    for preset, batch in (("pairwise-4096", 512), ("ring-16384", 64)):
+        ctx = CryptoContext(get_params(preset))
+        n, l = ctx.n, ctx.n_limbs
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(
+            0, np.asarray(ctx.primes[:l])[:, None],
+            size=(batch, l, n)).astype(np.uint32))
+
+        fwd = jax.jit(lambda a: ntt_fwd(ctx.plan, a))
+        inv = jax.jit(lambda a: ntt_inv(ctx.plan, a))
+        # Roundtrip exactness gate (the suite's per-op oracle tests are
+        # the real correctness story; this catches gross breakage).
+        assert (np.asarray(inv(fwd(x))) == np.asarray(x)).all(), \
+            "NTT roundtrip mismatch — config6 invalid"
+
+        mults = batch * l * n * (n.bit_length() // 2 + 1)
+        gbytes = 2 * batch * l * n * 4 / 1e9          # read + write, u32
+        for name, fn in (("fwd", fwd), ("inv", inv)):
+            @jax.jit
+            def step(a, tok, fn=fn):
+                return (fn(a ^ (tok & jnp.uint32(1)))[0, 0, 0]
+                        & 1).astype(jnp.uint32)
+
+            m = measure_chained(lambda tok: step(x, tok),
+                                c_short=4, c_long=24)
+            emit({"config": 6, "metric": f"ntt_{name}_{preset}",
+                  "value": round(m["ms"], 3), "unit": "ms",
+                  "batch_limb_transforms": batch * l,
+                  "limb_mults_per_s": round(mults / m["s"], 0),
+                  "gb_per_s_roundtrip_min": round(gbytes / m["s"], 1)})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     import jax
     wanted = {int(c) for c in args.configs.split(",")}
     fns = {1: config1_single_compare, 2: config2_allpairs_32,
            3: config3_search_1024, 4: config4_large_ring,
-           5: config5_sharded_search}
+           5: config5_sharded_search, 6: config6_ntt_throughput}
     for c in sorted(wanted):
         try:
             fns[c]()

@@ -374,8 +374,8 @@ class BatchProcessor:
         # CPU/XLA path has no block constraint, so padding there would
         # only add work.
         if jax.default_backend() == "tpu":
-            from .ops.pack_pallas import _ROW_BLOCK
-            pad_groups = _ROW_BLOCK // 4
+            from .ops.pack_pallas import PAD_GROUPS
+            pad_groups = PAD_GROUPS
         else:
             pad_groups = 1
         doc_op = pack.make_packed_doc_operand(ctx, ct.data, ct.level,

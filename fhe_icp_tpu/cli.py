@@ -73,6 +73,8 @@ class FHEDocumentCLI:
                 cur = " (current)" if key_id == km.get_current_key() else ""
                 print(f"{key_id}{cur}: {info['status']}, "
                       f"created {time.ctime(info['created_at'])}")
+                # Reference fhe_cli.py:63-64 shows artifact size per key.
+                print(f"    Size: {info['size_bytes'] / 1024 / 1024:.1f} MB")
         elif args.action == "rotate":
             old = km.get_current_key()
             new_id = km.rotate_keys(args.grace_days)
@@ -98,10 +100,21 @@ class FHEDocumentCLI:
         if not text:
             print("error: provide text or --file", file=sys.stderr)
             return 1
+        # Reference fhe_cli.py:88-93: --tags land in metadata['tags'],
+        # then --metadata keys merge on top.
+        metadata = {}
+        if args.tags:
+            metadata["tags"] = args.tags
+        if args.metadata:
+            metadata.update(json.loads(args.metadata))
         ids = self.processor.encrypt_documents(
             [text], doc_ids=[args.id] if args.id else None,
-            metadata=[json.loads(args.metadata)] if args.metadata else None)
+            metadata=[metadata] if metadata else None)
         print(f"Encrypted document: {ids[0]}")
+        # Reference fhe_cli.py:104 confirms the stored ciphertext size.
+        entry = self.processor.storage.index.get(ids[0], {})
+        if "size_bytes" in entry:
+            print(f"Size: {entry['size_bytes']} bytes")
         return 0
 
     def cmd_encrypt_batch(self, args) -> int:
@@ -167,22 +180,33 @@ class FHEDocumentCLI:
         if getattr(args, "deep", False) and valid:
             # Cryptographic depth: decrypt-side noise budget per ciphertext
             # (SURVEY.md §5 failure-detection parity — the reference can
-            # only hash-check; it has no access to noise).
+            # only hash-check; it has no access to noise).  Documents are
+            # checked in level-grouped CHUNKS — one stacked phase dispatch
+            # per chunk, O(1) jit programs per level — so a 1k-doc store
+            # deep-validates in seconds, not hours of per-doc dispatches.
+            import jax.numpy as jnp
+            import numpy as np
             from .keymgr import FHEKeyManager
             from .ops.cipher import Ciphertext
-            from .ops.noise import noise_budget_bits
+            from .ops.noise import noise_budget_bits_batch
             rt = FHEKeyManager(self.key_dir,
                                preset=self.preset).load_keyset()
             low = []
-            for doc_id in valid:
-                doc = store.load(doc_id)
-                import jax.numpy as jnp
-                ct = Ciphertext(jnp.asarray(doc.ct_data[:2]), doc.ct_level,
-                                True)
-                bits = noise_budget_bits(rt.ctx, rt.keys.sk, ct,
-                                         max_coeffs=32)
-                if bits < 10:
-                    low.append((doc_id, bits))
+            chunk_size = 256
+            for start in range(0, len(valid), chunk_size):
+                chunk_ids = valid[start: start + chunk_size]
+                docs = [store.load(d) for d in chunk_ids]
+                by_level = {}
+                for doc in docs:
+                    by_level.setdefault(doc.ct_level, []).append(doc)
+                for level, group in by_level.items():
+                    data = jnp.asarray(
+                        np.stack([d.ct_data[:2] for d in group]))
+                    ct = Ciphertext(data, level, True)
+                    bits = noise_budget_bits_batch(rt.ctx, rt.keys.sk, ct,
+                                                   coeffs_per_ct=32)
+                    low.extend((d.doc_id, int(b))
+                               for d, b in zip(group, bits) if b < 10)
             print(f"Noise check: {len(valid) - len(low)} healthy, "
                   f"{len(low)} low-budget (<10 bits)")
             for doc_id, bits in low:
@@ -233,6 +257,8 @@ def build_parser() -> argparse.ArgumentParser:
     enc.add_argument("text", nargs="?", default=None)
     enc.add_argument("--file", default=None)
     enc.add_argument("--id", default=None)
+    enc.add_argument("--tags", nargs="*", default=None,
+                     help="document tags (stored in metadata['tags'])")
     enc.add_argument("--metadata", default=None, help="JSON object")
 
     encb = sub.add_parser("encrypt-batch", help="encrypt documents from file")

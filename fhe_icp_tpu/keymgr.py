@@ -156,7 +156,16 @@ class FHEKeyManager:
         return self._load_meta()["current"]
 
     def key_info(self, key_id: str) -> Dict:
-        return self._load_meta()["keys"][key_id]
+        """Metadata for one key, including on-disk artifact size
+        (reference fhe_cli.py:64 displays size_bytes in `keys list`)."""
+        info = dict(self._load_meta()["keys"][key_id])
+        size = 0
+        for path in (self.key_dir / f"{key_id}.sk.enc",
+                     self.key_dir / f"{key_id}.pub"):
+            if path.exists():
+                size += path.stat().st_size
+        info["size_bytes"] = size
+        return info
 
     def load_keyset(self, key_id: Optional[str] = None,
                     runtime: Optional[FheRuntime] = None) -> FheRuntime:

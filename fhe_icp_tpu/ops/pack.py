@@ -36,6 +36,7 @@ core TPU-first design win of this framework.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dataclass_field
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -190,10 +191,21 @@ class PackedDocOperand:
 
     digits: jnp.ndarray
     level: int = dataclass_field(metadata=dict(static=True))
+    # Real (pre-pad) group count, carried from build time so top-k
+    # consumers can mask the zero-scoring pad groups out of rankings
+    # without every call site re-deriving it (a forgotten mask lets a
+    # pad slot's 0 outrank real negative scores).  None = no padding.
+    n_groups: Optional[int] = dataclass_field(
+        default=None, metadata=dict(static=True))
 
     @property
     def groups(self) -> int:
         return self.digits.shape[1] // 4
+
+    def real_docs(self, slots: int) -> int:
+        """Upper bound on real documents: pre-pad groups x slots."""
+        return (self.n_groups if self.n_groups is not None
+                else self.groups) * slots
 
 
 def make_packed_doc_operand(ctx: CryptoContext, ct_data, level: int,
@@ -203,8 +215,13 @@ def make_packed_doc_operand(ctx: CryptoContext, ct_data, level: int,
     `pad_groups_to` rounds the group count up with zero ciphertexts
     (which score exactly 0) at operand-build time, so the fused scoring
     kernel's 64-group row blocks need no per-call padding copy — the
-    right choice for long-lived stores (build once, score many).
+    right choice for long-lived stores (build once, score many).  The
+    pre-pad group count rides the operand as `n_groups`; any top-k over
+    the scores must mask rankings to the real documents (pass n_docs to
+    parallel.search.make_sharded_packed_search, or slice [:n_docs]) or
+    pad slots' zero scores outrank real negative ones.
     """
+    real_g = ct_data.shape[0]
     if pad_groups_to > 1 and ct_data.shape[0] % pad_groups_to:
         extra = pad_groups_to - ct_data.shape[0] % pad_groups_to
         ct_data = jnp.concatenate(
@@ -216,7 +233,8 @@ def make_packed_doc_operand(ctx: CryptoContext, ct_data, level: int,
     a = a.reshape(a.shape[:-2] + (2 * ctx.n,))        # (G, L, 2N)
     dig = balanced_digits(center_residues(a, p))      # (G, L, 2N, 4)
     dig = jnp.transpose(dig, (1, 0, 3, 2))            # (L, G, 4, 2N)
-    return PackedDocOperand(dig.reshape(dig.shape[0], g * 4, -1), level)
+    return PackedDocOperand(dig.reshape(dig.shape[0], g * 4, -1), level,
+                            real_g if g != real_g else None)
 
 
 @jax.tree_util.register_dataclass

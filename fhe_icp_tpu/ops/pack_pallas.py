@@ -55,6 +55,14 @@ from .modmath import U32, add_mod, barrett_reduce, mont_mul, neg_mod
 # 16 MB VMEM budget with the 1 MB query operand resident.
 _ROW_BLOCK = 512
 
+# Public pad granularity for operand builders: group counts that are a
+# multiple of PAD_GROUPS stream through the kernel with zero per-call
+# padding (each group contributes N_DIGITS digit rows).  On a sharded
+# mesh the guarantee holds when the PER-SHARD group count is a multiple,
+# i.e. pad to n_devices * PAD_GROUPS (see parallel/search.py).
+ROW_BLOCK = _ROW_BLOCK
+PAD_GROUPS = _ROW_BLOCK // N_DIGITS
+
 
 def _fold_kernel(tab_ref, a_ref, v_ref, w_ref, out_ref, *, slots: int):
     """One (limb, row-block) step: int8 matmul + full-lane digit fold.

@@ -72,14 +72,45 @@ def _ensure_cpu_platform() -> None:
         pass
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    XLA:CPU AOT artifacts embed the compile machine's feature flags and
+    refuse (loudly — cpu_aot_loader.cc errors on every load) to run on a
+    host whose features differ.  Two populations share a host here yet
+    produce incompatible artifacts: processes with a tunnel PJRT plugin
+    registered route even CPU-target compiles through the REMOTE compile
+    service, whose artifacts carry extra pseudo-features
+    (+prefer-no-scatter/gather) that plugin-free local processes reject.
+    Scope the cache by host CPU features AND compile-path markers so each
+    population keeps its artifacts to itself.
+    """
+    import hashlib
+    import platform
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats += " " + platform.processor()
+    # Compile-path markers: tunnel plugin present? platform pinning?
+    feats += (f" tunnel={bool(os.environ.get('PALLAS_AXON_POOL_IPS'))}"
+              f" plats={os.environ.get('JAX_PLATFORMS', '')}")
+    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+
+
 def _setup_compile_cache() -> None:
-    """Persistent XLA compilation cache, scoped per backend.
+    """Persistent XLA compilation cache, scoped per backend AND machine.
 
     Keygen/relin graphs take minutes to compile on remote-compile TPU
     tunnels; cache across processes.  The directory is suffixed with the
-    backend platform so CPU artifacts (whose machine-feature flags vary
-    between environments) never collide with TPU ones.  Disable with
-    FHE_JAX_CACHE=0.
+    backend platform (CPU artifacts never collide with TPU ones) and a
+    CPU-feature fingerprint (artifacts from a different machine type fail
+    to AOT-load and spam cpu_aot_loader errors — see _machine_fingerprint).
+    Disable with FHE_JAX_CACHE=0.
     """
     global _cache_ready
     if _cache_ready or os.environ.get("FHE_JAX_CACHE", "1") != "1":
@@ -89,8 +120,9 @@ def _setup_compile_cache() -> None:
     try:
         base = os.path.expanduser(os.environ.get(
             "FHE_JAX_CACHE_DIR", "~/.cache/fhe_icp_tpu_jax"))
-        jax.config.update("jax_compilation_cache_dir",
-                          f"{base}-{jax.default_backend()}")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            f"{base}-{jax.default_backend()}-{_machine_fingerprint()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without these flags
         pass

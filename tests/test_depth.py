@@ -87,8 +87,9 @@ def rt_small():
 
 def test_depth_modulus_is_ntt_friendly():
     assert T_DEPTH == (1 << 16) + 1
-    for k in range(2, 17):               # t ≡ 1 (mod 2N) for all rings
-        assert (T_DEPTH - 1) % (1 << k) == 0 or k > 16
+    # t ≡ 1 (mod 2N) for every supported ring (largest: N=32768 -> 2N=2^16).
+    for k in range(2, 17):
+        assert (T_DEPTH - 1) % (1 << k) == 0
 
 
 def test_depth_chain_small_ring(rt_small):

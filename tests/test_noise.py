@@ -77,3 +77,21 @@ def test_phase_centered_magnitudes(rt):
     worst = max(abs(int(v)) for v in vals)
     # Fresh phase = m + t*e: |e| <= cbd k=20 -> |phase| < t*(20+1)
     assert worst < rt.ctx.t * 64
+
+
+def test_budget_batch_matches_per_doc(rt):
+    """noise_budget_bits_batch: per-element budgets from one stacked
+    dispatch agree with the single-ct function on each element."""
+    import jax.numpy as jnp
+
+    from fhe_icp_tpu.ops.cipher import Ciphertext
+    from fhe_icp_tpu.ops.noise import noise_budget_bits_batch
+
+    cts = [rt.encrypt(msg(rt), seed=10 + i) for i in range(4)]
+    stacked = Ciphertext(jnp.stack([c.data for c in cts]),
+                         rt.ctx.n_limbs, True)
+    got = noise_budget_bits_batch(rt.ctx, rt.keys.sk, stacked,
+                                  coeffs_per_ct=rt.ctx.n)
+    want = [noise_budget_bits(rt.ctx, rt.keys.sk, c, max_coeffs=rt.ctx.n)
+            for c in cts]
+    assert list(got) == want

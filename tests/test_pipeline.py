@@ -270,3 +270,40 @@ class TestCLI:
         rc = self.run_cli(tmp_path, "compare", "nope1", "nope2")
         assert rc == 1
         assert "not found" in capsys.readouterr().err
+
+    def test_encrypt_tags_and_size(self, tmp_path, capsys):
+        """--tags lands in metadata['tags'] and the confirmation shows the
+        stored size (reference fhe_cli.py:88-91, 104, 326)."""
+        self.run_cli(tmp_path, "keys", "generate")
+        rc = self.run_cli(tmp_path, "encrypt", "tagged document text",
+                          "--id", "tdoc", "--tags", "alpha", "beta",
+                          "--metadata", '{"k": "v"}')
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Encrypted document: tdoc" in out
+        assert "Size: " in out and " bytes" in out
+        store = EncryptedDocumentStore(str(tmp_path / "docs"))
+        doc = store.load("tdoc")
+        assert doc.metadata["tags"] == ["alpha", "beta"]
+        assert doc.metadata["k"] == "v"
+
+    def test_keys_list_shows_size(self, tmp_path, capsys):
+        """`keys list` displays artifact size (reference fhe_cli.py:64)."""
+        self.run_cli(tmp_path, "keys", "generate", "--key-id", "ksz")
+        capsys.readouterr()
+        assert self.run_cli(tmp_path, "keys", "list") == 0
+        out = capsys.readouterr().out
+        assert "Size: " in out and " MB" in out
+
+    def test_validate_deep_batched_store(self, tmp_path, capsys):
+        """--deep over a multi-doc store: one healthy sweep, batched
+        (level-grouped chunks, not one dispatch per document)."""
+        self.run_cli(tmp_path, "keys", "generate")
+        batch = tmp_path / "docs.txt"
+        batch.write_text("first document\nsecond document\nthird one\n")
+        assert self.run_cli(tmp_path, "encrypt-batch", str(batch)) == 0
+        capsys.readouterr()
+        rc = self.run_cli(tmp_path, "validate", "--deep")
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Noise check: 3 healthy, 0 low-budget" in out
