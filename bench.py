@@ -8,15 +8,19 @@ lane width), followed by the exact per-slot RNS decode — on the
 encrypted fresh at 3 x 31-bit limbs, modulus-switched to 2 limbs for
 scoring — the standard BGV noise/size trade).
 
-Timing methodology: the TPU here sits behind a remote tunnel whose
-dispatch is asynchronous and whose `block_until_ready` can return before
-device completion, so naive dispatch-loop timing is unreliable in BOTH
-directions.  Each measured step is therefore chained through a data
-dependency (the previous step's output XORs into the query operand), and
-the run ends with a host readback of the chain's final value — the wall
-clock cannot close before every step has truly executed.  The per-step
-cost is the slope between two chain lengths (min of 3 runs each), which
-cancels the ~30 ms tunnel round-trip.
+Timing methodology (round-4 revision): the TPU sits behind a remote
+tunnel with ~30 ms round-trip AND a per-dispatch rate limit of
+~0.3-0.4 ms — measured directly (benchmarks/diag_bench_variance.py):
+host-side chained-dispatch loops report per-step times that FALL from
+~0.7 ms at chain length 64 to ~0.32 ms at 256, i.e. earlier rounds'
+"kernel time" was mostly host dispatch, and its variance (the 287M-vs-
+357M round-3 discrepancy) was tunnel scheduling, not the device.  The
+loop therefore now runs ON DEVICE: one `lax.fori_loop` executes K
+XOR-data-chained scoring steps per dispatch (the chain serializes steps
+and defeats any hoisting of the loop-invariant heavy work; a host
+readback of the final token forces true completion).  The per-step cost
+is the slope between two loop lengths — median of `reps` runs each —
+which cancels the single dispatch + readback constant.
 
 Prints ONE JSON line:
   {"metric": "encrypted_dot_products_per_s", "value": N, "unit": "ops/s",
@@ -46,9 +50,9 @@ def main() -> None:
 
     dim = 128            # embedding dimension (reference contract)
     groups = 2048        # packed ciphertexts scored per step
-    c_short, c_long, reps = 8, 64, 3
+    k_short, k_long, reps = 32, 160, 5
 
-    rt = FheRuntime("pairwise-4096", rlk_levels=[])
+    rt = FheRuntime("pairwise-4096", rlk_levels=[3])
     rt.generate_keys(seed=0)
     ctx, sk = rt.ctx, rt.keys.sk
     slots = pack.slots_per_ct(ctx.n, dim)          # 32 docs / ciphertext
@@ -86,33 +90,49 @@ def main() -> None:
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(query), dim,
                                           ct.level)
 
-    @jax.jit
-    def step(dd, qd, tok):
-        qd = pack.PackedQueryOperand(qd.digits ^ tok.astype(jnp.int8),
-                                     qd.level, qd.d, qd.slots)
-        s = pack.packed_scores(ctx, dd, qd, corr)
-        return (s[0, 0] & 1).astype(jnp.uint32)
-
-    # Correctness gate: the benchmark only counts if the math is right.
+    # Correctness gate 1 (ct x pt scoring path): the benchmark only
+    # counts if the math is right.
     out = jax.jit(
         lambda a, b: pack.packed_scores(ctx, a, b, corr))(doc_op, q_op)
     got = np.asarray(out, dtype=np.int64).reshape(-1)
     want = docs.astype(np.int64) @ query.astype(np.int64)
     assert (got == want).all(), "packed encrypted matvec mismatch — bench invalid"
 
-    def chain(n_steps: int) -> float:
-        best = float("inf")
-        for _ in range(reps):
-            tok = jnp.uint32(0)
-            t0 = time.perf_counter()
-            for _ in range(n_steps):
-                tok = step(doc_op, q_op, tok)
-            np.asarray(tok)                        # force full completion
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # Correctness gate 2 (ct x ct + relinearization): one fully encrypted
+    # compare through the hybrid keyswitch, so a relin regression cannot
+    # ship invisibly in the round artifact (round-3 verdict weak #6).
+    ct_a = rt.encrypt_vector(docs[0], seed=2)
+    ct_b = rt.encrypt_vector(docs[1], seed=3, rev=True)
+    got_relin = int(rt.decrypt_dot(rt.dot_ct_ct(ct_a, ct_b), dim))
+    want_relin = int(docs[0].astype(np.int64) @ docs[1].astype(np.int64))
+    assert got_relin == want_relin, "relinearized compare mismatch — bench invalid"
 
-    chain(2)                                       # warm-up / compile
-    dt = (chain(c_long) - chain(c_short)) / (c_long - c_short)
+    def make_loop(n_steps: int):
+        @jax.jit
+        def run(dd, qd, tok0):
+            def body(_, tok):
+                qd_x = pack.PackedQueryOperand(
+                    qd.digits ^ tok.astype(jnp.int8), qd.level, qd.d,
+                    qd.slots)
+                s = pack.packed_scores(ctx, dd, qd_x, corr)
+                return (s[0, 0] & 1).astype(jnp.uint32)
+            return jax.lax.fori_loop(0, n_steps, body, tok0)
+        return run
+
+    loop_short = make_loop(k_short)
+    loop_long = make_loop(k_long)
+
+    def timed(fn) -> float:
+        tok = jnp.uint32(0)
+        t0 = time.perf_counter()
+        out = fn(doc_op, q_op, tok)
+        np.asarray(out)                            # force full completion
+        return time.perf_counter() - t0
+
+    timed(loop_short); timed(loop_long)            # compile + warm
+    samples = sorted((timed(loop_long) - timed(loop_short))
+                     / (k_long - k_short) for _ in range(reps))
+    dt = samples[reps // 2]                        # median slope
     ops_per_s = batch / dt
 
     # Roofline accounting on stderr (stdout carries ONLY the JSON line).
@@ -123,9 +143,10 @@ def main() -> None:
         spec = hbm_spec_gbs()
         note = (f" = {eff_gbs / spec:.0%} of {spec:.0f} GB/s HBM spec"
                 if spec else "")
+        spread = (samples[-1] - samples[0]) / dt
         print(f"[roofline] scoring reads {eff_gbs:.0f} GB/s{note}; "
-              f"{dt * 1e3:.3f} ms/step, {slots} docs/ciphertext",
-              file=sys.stderr)
+              f"{dt * 1e3:.3f} ms/step (median of {reps}, spread "
+              f"{spread:.0%}), {slots} docs/ciphertext", file=sys.stderr)
     except Exception as e:
         print(f"[roofline] unavailable: {e}", file=sys.stderr)
     # Ciphertext-size accounting (live shapes): the 2-limb pairwise-4096

@@ -375,15 +375,115 @@ def config6_ntt_throughput():
                   "gb_per_s_roundtrip_min": round(gbytes / m["s"], 1)})
 
 
+def config7_weak_scaling():
+    """Weak-scaling ladder on the virtual mesh: per-device work FIXED,
+    D = 1, 2, 4, ... devices — does the sharded path actually win?
+
+    Config 5's old `sharding_overhead_vs_serial` compared a D-device run
+    against D *sequential* single-shard runs, a bound the virtual mesh
+    can only lose against when per-shard work is small (dispatch and
+    collective overhead dominate).  Weak scaling asks the right
+    production question instead: growing the store D-fold while adding D
+    devices, does query latency hold?  XLA's CPU backend executes each
+    virtual device's partition on separate host threads, so with
+    compute-dominated shards this genuinely parallelizes.
+
+    efficiency(D) = t(1 device, 1 shard) / t(D devices, D shards);
+    1.0 = latency flat while the store grows D-fold.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops import pack
+    from fhe_icp_tpu.ops.params import CryptoParams
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.parallel.mesh import make_mesh
+    from fhe_icp_tpu.parallel.search import (make_sharded_packed_search,
+                                             packed_operand_sharding)
+    from fhe_icp_tpu.utils.profiling import measure_chained
+
+    n_dev = len(jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # One real chip: no ladder to run; config 5 covers the 1-chip rate.
+        emit({"config": 7, "skipped": "single TPU chip; ladder needs a mesh"})
+        return
+    rt = FheRuntime(CryptoParams("bench-512", n=512, n_limbs=2,
+                                 allow_insecure=True), rlk_levels=[])
+    rt.generate_keys(seed=0)
+    ctx, sk = rt.ctx, rt.keys.sk
+    d = 128
+    slots = pack.slots_per_ct(ctx.n, d)
+    groups_per_dev = 4096                  # 16,384 docs/device: compute-
+    docs_per_dev = groups_per_dev * slots  # dominated (~32 MB operand/dev)
+
+    ladder = []
+    dev_counts = [dd for dd in (1, 2, 4, 8, 16) if dd <= n_dev]
+    for dd in dev_counts:
+        b = docs_per_dev * dd
+        docs, q = _rng_docs(b, d, seed=7)
+        polys = pack.encode_packed(
+            jnp.asarray(docs.reshape(groups_per_dev * dd, slots, d)), ctx.n)
+        ct = rt.encrypt(np.asarray(polys), seed=13)
+        doc_op = jax.jit(lambda x, lv=ct.level: pack.make_packed_doc_operand(
+            ctx, x, lv))(ct.data)
+        q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
+                                              ct.level)
+        mesh = make_mesh(dd, shape=(dd, 1))
+        digits = jax.device_put(doc_op.digits, packed_operand_sharding(mesh))
+        step_full = make_sharded_packed_search(ctx, mesh, d=d, top_k=5,
+                                               n_docs=b)
+
+        @jax.jit
+        def step(dd_, qd, tok):
+            scores, vals, idx = step_full(dd_, qd ^ tok.astype(jnp.int8))
+            return (vals[0] & 1).astype(jnp.uint32)
+
+        scores, vals, idx = step_full(digits, q_op.digits)
+        want = docs.astype(np.int64) @ q.astype(np.int64)
+        got = np.asarray(scores, np.int64)[:b]
+        assert (got == want).all(), f"config7 mismatch at D={dd}"
+        m = measure_chained(lambda tok: step(digits, q_op.digits, tok),
+                            c_short=2, c_long=8)
+        ladder.append((dd, m["ms"]))
+
+    t1 = ladder[0][1]
+    import os as _os
+    cores = _os.cpu_count() or 1
+    emit({"config": 7, "metric": "weak_scaling_packed_search",
+          "unit": "ms/query", "docs_per_device": docs_per_dev,
+          # All virtual devices share `host_cores` physical cores, so the
+          # D-parallel ideal (efficiency 1.0) is unreachable for
+          # D > host_cores; the honest ceilings are (a) aggregate
+          # throughput rising monotonically with D until the socket
+          # saturates, and (b) efficiency_vs_core_bound ~ 1.0 (sharding
+          # costs nothing beyond the hardware's parallelism limit).  On
+          # real chips each shard owns its own silicon and the ICI/DCN
+          # traffic model (benchmarks/README.md) applies instead.
+          "host_cores": cores,
+          "ladder": [
+              {"devices": dd, "docs": docs_per_dev * dd,
+               "ms_per_query": round(ms, 3),
+               "aggregate_dots_per_s": round(docs_per_dev * dd / (ms / 1e3), 1),
+               "weak_scaling_efficiency": round(t1 / ms, 3),
+               # speedup of aggregate throughput over the 1-device run,
+               # normalized by the hardware parallelism actually
+               # available to D shards: min(D, host_cores).
+               "efficiency_vs_hw_parallelism": round(
+                   (docs_per_dev * dd / ms) / (docs_per_dev / t1)
+                   / min(dd, cores), 3)}
+              for dd, ms in ladder]})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     args = ap.parse_args()
     import jax
     wanted = {int(c) for c in args.configs.split(",")}
     fns = {1: config1_single_compare, 2: config2_allpairs_32,
            3: config3_search_1024, 4: config4_large_ring,
-           5: config5_sharded_search, 6: config6_ntt_throughput}
+           5: config5_sharded_search, 6: config6_ntt_throughput,
+           7: config7_weak_scaling}
     for c in sorted(wanted):
         try:
             fns[c]()

@@ -104,8 +104,11 @@ class BatchProcessor:
         q, _ = prepare_embedding_for_fhe(e, self.scale)
         ct_fwd = self.runtime.encrypt_vector(q)
         ct_rev = self.runtime.encrypt_vector(q, rev=True)
+        # Degree-2 decrypt (same math as compare_encrypted): keeps the
+        # heavyweight relinearization graph out of cold-start compiles.
         raw = int(self.runtime.decrypt_dot(
-            self.runtime.dot_ct_ct(ct_fwd, ct_rev), self.target_dim))
+            self.runtime.dot_ct_ct(ct_fwd, ct_rev, relinearize=False),
+            self.target_dim))
         sim = dequantize_score(raw, self.scale)
         if abs(sim - 1.0) > 0.2:
             logger.warning("model self-validation: identical-pair "
@@ -275,7 +278,9 @@ class BatchProcessor:
         self._check_key(doc_id2, d2.key_id)
         fwd1, _ = self._split_ct(d1)
         _, rev2 = self._split_ct(d2)
-        score_ct = self.runtime.dot_ct_ct(fwd1, rev2)
+        # Immediate decrypt: the degree-2 product decodes bit-identically
+        # and skips the relinearization keyswitch (ops/dot.dot_ct_ct_deg2).
+        score_ct = self.runtime.dot_ct_ct(fwd1, rev2, relinearize=False)
         raw = int(self.runtime.decrypt_dot(score_ct, d1.dim))
         return dequantize_score(raw, d1.scale)
 

@@ -50,6 +50,21 @@ def dot_ct_ct(ctx: CryptoContext, rlk_keys, ct_a: Ciphertext,
     return arith.relinearize(ctx, rlk_keys, prod)
 
 
+def dot_ct_ct_deg2(ctx: CryptoContext, ct_a: Ciphertext,
+                   ct_b_rev: Ciphertext) -> Ciphertext:
+    """Encrypted inner product WITHOUT relinearization: degree-2 result.
+
+    Relinearization exists for COMPOSABILITY — storing or further
+    processing the product under the standard 2-poly shape.  A consumer
+    that decrypts immediately (the CLI `compare` path,
+    /root/reference/batch_operations.py:206-238) doesn't need it: the
+    decryption phase handles c2*s^2 directly (cipher._phase), the score
+    is bit-identical, and the entire hybrid keyswitch (the dominant cost
+    of a single compare) drops out.
+    """
+    return arith.mul_ct(ctx, ct_a, ct_b_rev)
+
+
 def decrypt_dot(ctx: CryptoContext, sk, ct: Ciphertext, d: int):
     """Decrypt ONLY the inner-product coefficient d-1 -> (...,) int32.
 

@@ -117,6 +117,18 @@ def _setup_compile_cache() -> None:
         return
     _cache_ready = True
     _ensure_cpu_platform()
+    if (jax.default_backend() == "cpu"
+            and not os.environ.get("PALLAS_AXON_POOL_IPS")
+            and os.environ.get("FHE_JAX_CACHE_CPU") != "1"):
+        # Local CPU compiles take seconds — and this XLA build's CPU AOT
+        # loader rejects its OWN gather/scatter-containing artifacts
+        # (it stamps +prefer-no-scatter/gather tuning prefs into the
+        # target features, then treats them as missing host CPUID bits on
+        # reload — verified empirically: an identical process errors on
+        # the artifacts it just wrote).  Persisting buys ~1.5 s/process
+        # and floods stderr with cpu_aot_loader errors; skip it.  Opt
+        # back in with FHE_JAX_CACHE_CPU=1.
+        return
     try:
         base = os.path.expanduser(os.environ.get(
             "FHE_JAX_CACHE_DIR", "~/.cache/fhe_icp_tpu_jax"))
@@ -170,6 +182,8 @@ class FheRuntime:
         self._dot_ct_pt = jax.jit(lambda a, b: dot.dot_ct_pt(ctx, a, b))
         self._dot_ct_ct = jax.jit(
             lambda rk, a, b: dot.dot_ct_ct(ctx, rk, a, b))
+        self._dot_ct_ct_deg2 = jax.jit(
+            lambda a, b: dot.dot_ct_ct_deg2(ctx, a, b))
         self._matvec = jax.jit(lambda cts, q: dot.matvec_ct_pt(ctx, cts, q))
         self._decrypt_dot = jax.jit(
             lambda sk, ct, d: dot.decrypt_dot(ctx, sk, ct, d),
@@ -311,7 +325,12 @@ class FheRuntime:
     def dot_ct_pt(self, ct, vec_clear):
         return self._dot_ct_pt(ct, jnp.asarray(vec_clear, dtype=jnp.int32))
 
-    def dot_ct_ct(self, ct_a, ct_b_rev):
+    def dot_ct_ct(self, ct_a, ct_b_rev, relinearize: bool = True):
+        """Encrypted dot product.  relinearize=False returns the degree-2
+        product — bit-identical on decryption and much faster; use when
+        the result is decrypted immediately rather than stored/composed."""
+        if not relinearize:
+            return self._dot_ct_ct_deg2(ct_a, ct_b_rev)
         return self._dot_ct_ct(self._require_keys().rlk.keys, ct_a, ct_b_rev)
 
     def matvec(self, cts, query_clear):

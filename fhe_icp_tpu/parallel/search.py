@@ -109,34 +109,53 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
     Each packed ciphertext holds S = N/d documents (ops/pack.py), so a
     shard of G/n_dp groups scores S times more documents per byte than
     the per-doc path; the per-chip matmul output is 4S = 128 columns —
-    the full MXU lane width.  Top-k merges over the all-gathered flat
-    score vector, O(B) int32.  `n_docs` bounds the ranking to the first
-    n_docs scores when the operand carries zero-ciphertext padding.
+    the full MXU lane width.
+
+    Ranking is DISTRIBUTED: each shard top-ks its own scores, then only
+    (k values + k global indices) per shard cross the interconnect and a
+    tiny (n_dp*k)-element merge runs replicated — O(k) collective
+    traffic, never an O(B) sort of the gathered score vector (which
+    would replicate B-element sorts on every device: measured 2-8x
+    slowdowns at D=8 on the virtual mesh, and the exact pattern the
+    benchmarks/README.md traffic model forbids at v5p scale).  The full
+    score vector is still returned (one linear all-gather) for gating
+    and API parity.  `n_docs` bounds the ranking to the first n_docs
+    scores when the operand carries zero-ciphertext padding.
     """
-    ds = packed_operand_sharding(mesh)
-    rep = replicated(mesh)
     slots = pack.slots_per_ct(ctx.n, d)
+    n_dp = mesh.shape[DP_AXIS]
+    level = ctx.n_limbs
 
-    # The fused Pallas scoring kernel (ops/pack_pallas.py) is a custom
-    # call XLA cannot auto-partition, so it is only eligible on a
-    # single-device mesh; sharded meshes use the XLA matmul+fold path,
-    # which partitions cleanly over the group axis.
-    impl = "auto" if mesh.devices.size == 1 else "xla"
+    # The fused Pallas scoring kernel (ops/pack_pallas.py) runs per
+    # shard inside shard_map on TPU; CPU backends use the XLA
+    # matmul+fold path (Pallas-on-CPU is interpreter-only).
+    impl = "auto"
+    P = jax.sharding.PartitionSpec
 
-    def step(doc_digits, query_digits, level: int):
+    def local_step(doc_digits, query_digits):
+        # Shapes here are PER-SHARD: (L, (G/n_dp)*4, 2N) and (L, 2N, 4S).
         docs = pack.PackedDocOperand(doc_digits, level)
         q = pack.PackedQueryOperand(query_digits, level, d, slots)
         scores = pack.packed_scores(ctx, docs, q, pt_corr, impl=impl)
-        flat = scores.reshape(-1)                            # (G*S,)
-        # Operands padded with zero ciphertexts (pad_groups_to) score 0,
-        # which would beat real negative scores in top-k; mask the pad
-        # slots out of the ranking (flat itself stays unmasked).
+        flat = scores.reshape(-1)                      # (B/n_dp,)
+        shard = jax.lax.axis_index(DP_AXIS)
+        base = shard * flat.shape[0]
         ranked = flat
-        if n_docs is not None and n_docs < flat.shape[0]:
-            ranked = jnp.where(jnp.arange(flat.shape[0]) < n_docs, flat,
-                               jnp.iinfo(jnp.int32).min)
-        vals, idx = jax.lax.top_k(ranked, top_k)
-        return flat, vals, idx
+        if n_docs is not None and n_docs < n_dp * flat.shape[0]:
+            # Global index >= n_docs -> zero-ciphertext pad, mask out.
+            ranked = jnp.where(base + jnp.arange(flat.shape[0]) < n_docs,
+                               flat, jnp.iinfo(jnp.int32).min)
+        k = min(top_k, flat.shape[0])
+        l_vals, l_idx = jax.lax.top_k(ranked, k)       # per-shard top-k
+        vals_all = jax.lax.all_gather(l_vals, DP_AXIS)         # (n_dp, k)
+        idx_all = jax.lax.all_gather(l_idx + base, DP_AXIS)    # (n_dp, k)
+        m_vals, m_pos = jax.lax.top_k(vals_all.reshape(-1), k)
+        m_idx = idx_all.reshape(-1)[m_pos]
+        return flat, m_vals, m_idx
 
-    return jax.jit(partial(step, level=ctx.n_limbs),
-                   in_shardings=(ds, rep), out_shardings=(rep, rep, rep))
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, DP_AXIS, None), P(None, None, None)),
+        out_specs=(P(DP_AXIS), P(), P()),
+        check_vma=False)
+    return jax.jit(step)

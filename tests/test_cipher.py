@@ -164,3 +164,19 @@ def test_matvec_ct_pt(rt):
     got = np.asarray(rt.decrypt_dot(rt.matvec(cts, q), d), dtype=np.int64)
     want = np.asarray(docs, np.int64) @ np.asarray(q, np.int64)
     assert (got == want).all()
+
+
+def test_dot_ct_ct_deg2_matches_relinearized(rt):
+    """The degree-2 (unrelinearized) product decrypts bit-identically to
+    the relinearized one — the basis of the fast immediate-decrypt
+    compare path (ops/dot.dot_ct_ct_deg2, batch.compare_encrypted)."""
+    d = 64
+    a = jnp.asarray(RNG.integers(-200, 201, size=(d,)), dtype=jnp.int32)
+    b = jnp.asarray(RNG.integers(-200, 201, size=(d,)), dtype=jnp.int32)
+    ca = rt.encrypt_vector(a, seed=24)
+    cb = rt.encrypt_vector(b, seed=25, rev=True)
+    want = int(np.asarray(a, np.int64) @ np.asarray(b, np.int64))
+    deg2 = rt.dot_ct_ct(ca, cb, relinearize=False)
+    assert deg2.k == 3
+    assert int(rt.decrypt_dot(deg2, d)) == want
+    assert int(rt.decrypt_dot(rt.dot_ct_ct(ca, cb), d)) == want
