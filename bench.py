@@ -4,9 +4,9 @@ Measures the flagship operation behind `compare`/`search` — slot-packed
 encrypted scoring (ops/pack.py): S = N/d documents per ciphertext, one
 int8 digit matmul per RNS limb with 4S = 128 output columns (full MXU
 lane width), followed by the exact per-slot RNS decode — on the
-`pairwise-4096` parameter set (N=4096, real 128-bit-secure BGV;
-encrypted fresh at 3 x 31-bit limbs, modulus-switched to 2 limbs for
-scoring — the standard BGV noise/size trade).
+`pairwise-4096` parameter set (N=4096, real 128-bit-secure BGV, 2 x
+31-bit RNS limbs — the round-3 hybrid-keyswitch redesign cut the fresh
+ciphertext from round 1's 3 limbs).
 
 Timing methodology (round-4 revision): the TPU sits behind a remote
 tunnel with ~30 ms round-trip AND a per-dispatch rate limit of
@@ -50,9 +50,11 @@ def main() -> None:
 
     dim = 128            # embedding dimension (reference contract)
     groups = 2048        # packed ciphertexts scored per step
-    k_short, k_long, reps = 32, 160, 5
+    k_short, k_long, reps = 32, 288, 15
 
-    rt = FheRuntime("pairwise-4096", rlk_levels=[3])
+    # rlk at the fresh level (pairwise-4096 is a 2-limb chain) for the
+    # relinearized-compare exactness gate below.
+    rt = FheRuntime("pairwise-4096", rlk_levels=[2])
     rt.generate_keys(seed=0)
     ctx, sk = rt.ctx, rt.keys.sk
     slots = pack.slots_per_ct(ctx.n, dim)          # 32 docs / ciphertext

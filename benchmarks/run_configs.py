@@ -474,16 +474,105 @@ def config7_weak_scaling():
               for dd, ms in ladder]})
 
 
+def config8_galois_vs_coeff():
+    """Galois slot-packing vs coefficient packing for the encrypted dot.
+
+    The production scoring path uses COEFFICIENT packing (encode_fwd/
+    encode_rev + one pointwise multiply puts the inner product in one
+    coefficient — ops/encoding.py); the SIMD alternative packs values in
+    NTT slots and computes the dot as slotwise-multiply + log2(slots)
+    rotate-and-sum keyswitches (ops/galois.dot_ct_ct_slots).  This row
+    turns the design choice into a measurement: latency and noise cost
+    of both fully-encrypted dots, d=128.
+
+    Preset note (measured): at the production `pairwise-4096` 2-limb
+    chain the Galois path is NOT EVEN DECRYPTABLE — the 13 rotate-and-
+    sum keyswitches wrap the noise (budget 0 bits, scores garbage) while
+    coefficient packing finishes with budget to spare.  The comparison
+    therefore runs on `mult-8192` (6 limbs), where both are exact; the
+    infeasibility at compact parameters is recorded in the row — it is
+    half the reason coefficient packing is the production encoding.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fhe_icp_tpu.ops import galois
+    from fhe_icp_tpu.ops.cipher import Ciphertext
+    from fhe_icp_tpu.ops import dot as fhe_dot
+    from fhe_icp_tpu.ops.noise import noise_budget_bits
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
+
+    d = 128
+    rt = FheRuntime("mult-8192")
+    rt.generate_keys(seed=0)
+    ctx, ks = rt.ctx, rt.keys
+    docs, _ = _rng_docs(2, d, seed=8)
+    want = int(docs[0].astype(np.int64) @ docs[1].astype(np.int64))
+
+    # -- coefficient packing (production path) -----------------------------
+    ca = rt.encrypt_vector(docs[0], seed=20)
+    cb = rt.encrypt_vector(docs[1], seed=21, rev=True)
+    prod_coeff = rt.dot_ct_ct(ca, cb)
+    assert int(rt.decrypt_dot(prod_coeff, d)) == want, "config8 coeff mismatch"
+
+    def body_coeff(tok):
+        a = Ciphertext(ca.data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
+        out = fhe_dot.decrypt_dot(
+            ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, cb), d)
+        return (out & 1).astype(jnp.uint32)
+
+    m_coeff = measure_ondevice_loop(body_coeff, k_short=4, k_long=20)
+
+    # -- Galois slot packing (rotate-and-sum) ------------------------------
+    slots_shape = (2, ctx.n // 2)
+    va = np.zeros(slots_shape, dtype=np.int32)
+    vb = np.zeros(slots_shape, dtype=np.int32)
+    va[0, :d] = docs[0]
+    vb[0, :d] = docs[1]
+    sa = rt.encrypt_slots(va, seed=22)
+    sb = rt.encrypt_slots(vb, seed=23)
+    gkeys = rt.rotation_keys(seed=24)
+    prod_slots = rt.dot_ct_ct_slots(sa, sb)
+    got_slots = int(np.asarray(rt.decrypt_slots(prod_slots))[0, 0])
+    t = ctx.t
+    want_mod_t = (want % t + t // 2) % t - t // 2
+    assert got_slots == want_mod_t, "config8 slots mismatch"
+
+    def body_slots(tok):
+        a = Ciphertext(sa.data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
+        out = galois.dot_ct_ct_slots(ctx, ks.rlk.keys, gkeys, a, sb)
+        return (out.data[0, 0, 0] & 1).astype(jnp.uint32)
+
+    m_slots = measure_ondevice_loop(body_slots, k_short=2, k_long=8)
+
+    emit({"config": 8, "metric": "galois_vs_coeff_dot",
+          "preset": "mult-8192",
+          "coeff_packing_ms": round(m_coeff["ms"], 3),
+          "galois_slots_ms": round(m_slots["ms"], 3),
+          "slowdown": round(m_slots["ms"] / m_coeff["ms"], 1),
+          "noise_budget_fresh_bits":
+              int(noise_budget_bits(ctx, ks.sk, ca, max_coeffs=32)),
+          "noise_budget_coeff_dot_bits":
+              int(noise_budget_bits(ctx, ks.sk, prod_coeff, max_coeffs=32)),
+          "noise_budget_galois_dot_bits":
+              int(noise_budget_bits(ctx, ks.sk, prod_slots, max_coeffs=32)),
+          "galois_keyswitches": int(np.log2(ctx.n // 2)) + 1,
+          "pairwise_4096_galois_budget_bits": 0,
+          "note": "galois path noise-wraps at the production 2-limb "
+                  "preset (budget 0 -> undecryptable); coefficient "
+                  "packing is exact there"})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
     args = ap.parse_args()
     import jax
     wanted = {int(c) for c in args.configs.split(",")}
     fns = {1: config1_single_compare, 2: config2_allpairs_32,
            3: config3_search_1024, 4: config4_large_ring,
            5: config5_sharded_search, 6: config6_ntt_throughput,
-           7: config7_weak_scaling}
+           7: config7_weak_scaling, 8: config8_galois_vs_coeff}
     for c in sorted(wanted):
         try:
             fns[c]()

@@ -82,6 +82,43 @@ def measure_chained(step_fn: Callable, c_short: int = 8, c_long: int = 64,
     return {"ms": dt * 1e3, "s": dt}
 
 
+def measure_ondevice_loop(body: Callable, k_short: int = 8,
+                          k_long: int = 40, reps: int = 5) -> Dict:
+    """Per-step time of `body(token) -> token` with the loop ON DEVICE.
+
+    Host-side chained dispatch (measure_chained) is rate-limited by the
+    tunnel at ~0.3-0.4 ms/step (measured, benchmarks/
+    diag_bench_variance.py), which floors and destabilizes sub-
+    millisecond steps.  Here ONE dispatch runs `lax.fori_loop(k, body)`;
+    the slope between two loop lengths (median of `reps`) cancels the
+    dispatch + readback constant and measures pure device time.  `body`
+    must thread a small token so iterations serialize.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def run_k(k):
+        @jax.jit
+        def run(tok0):
+            return jax.lax.fori_loop(0, k, lambda _, t: body(t), tok0)
+        return run
+
+    rs, rl = run_k(k_short), run_k(k_long)
+
+    def t(fn) -> float:
+        tok = jnp.uint32(0)
+        t0 = time.perf_counter()
+        np.asarray(fn(tok))                     # force full completion
+        return time.perf_counter() - t0
+
+    t(rs); t(rl)                                # compile + warm
+    s = sorted((t(rl) - t(rs)) / (k_long - k_short) for _ in range(reps))
+    dt = s[reps // 2]
+    return {"ms": dt * 1e3, "s": dt,
+            "spread": (s[-1] - s[0]) / dt if dt else 0.0}
+
+
 def roofline(fn: Callable, *args, bytes_accessed: int, ops: int = 0,
              items: int = 0, iters: int = 16) -> Dict:
     """Measure fn and relate it to its declared memory/compute footprint."""
