@@ -2,9 +2,10 @@
 
 Each config prints one JSON line and appends to the results list written
 to `benchmarks/results_<backend>.json`.  Every timed computation is
-correctness-gated against an int64 numpy oracle, and timing uses the
-dependency-chain + readback methodology (utils/profiling.measure_chained)
-that stays honest through the remote TPU tunnel.
+correctness-gated against an int64 numpy oracle, and timing runs the
+measured loop ON DEVICE (utils/profiling.measure_ondevice_loop): host-
+side dispatch through the remote TPU tunnel is rate-limited at
+~0.3-0.4 ms/step, which floors and destabilizes sub-millisecond steps.
 
 Configs (BASELINE.json "configs"):
   1. single pairwise encrypted compare (ct x ct + relinearize + decrypt)
@@ -67,7 +68,7 @@ def config1_single_compare():
     from fhe_icp_tpu.ops.runtime import FheRuntime
     from fhe_icp_tpu.ops.cipher import Ciphertext
     from fhe_icp_tpu.ops import dot as fhe_dot
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     d = 128
     rt = FheRuntime("pairwise-4096")
@@ -77,24 +78,34 @@ def config1_single_compare():
     ct_a = rt.encrypt_vector(docs[0], seed=2)
     ct_b = rt.encrypt_vector(docs[1], seed=3, rev=True)
 
-    @jax.jit
-    def step(a_data, b_data, tok):
-        a = Ciphertext(a_data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
-        b = Ciphertext(b_data, ctx.n_limbs, True)
+    def step(tok):
+        a = Ciphertext(ct_a.data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
         score = fhe_dot.decrypt_dot(
-            ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, b), d)
+            ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, ct_b), d)
         return (score & 1).astype(jnp.uint32)
 
-    # Correctness gate (tok=0 path).
+    def step_deg2(tok):
+        a = Ciphertext(ct_a.data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
+        score = fhe_dot.decrypt_dot(
+            ctx, ks.sk, fhe_dot.dot_ct_ct_deg2(ctx, a, ct_b), d)
+        return (score & 1).astype(jnp.uint32)
+
+    # Correctness gates (tok=0 path): relinearized AND degree-2.
     got = int(rt.decrypt_dot(rt.dot_ct_ct(ct_a, ct_b), d))
     want = int(docs[0].astype(np.int64) @ docs[1].astype(np.int64))
     assert got == want, "config1 mismatch"
+    assert int(rt.decrypt_dot(
+        rt.dot_ct_ct(ct_a, ct_b, relinearize=False), d)) == want, \
+        "config1 deg2 mismatch"
 
-    m = measure_chained(lambda tok: step(ct_a.data, ct_b.data, tok),
-                        c_short=4, c_long=24)
+    m = measure_ondevice_loop(step, k_short=4, k_long=24)
+    m2 = measure_ondevice_loop(step_deg2, k_short=4, k_long=24)
     emit({"config": 1, "metric": "single_ct_ct_compare_ms",
           "value": round(m["ms"], 3), "unit": "ms",
-          "ops_per_s": round(1.0 / m["s"], 1)})
+          "ops_per_s": round(1.0 / m["s"], 1),
+          # The CLI compare path decrypts immediately and skips relin
+          # (ops/dot.dot_ct_ct_deg2) — bit-identical score.
+          "deg2_immediate_decrypt_ms": round(m2["ms"], 3)})
 
 
 def config2_allpairs_32():
@@ -104,7 +115,7 @@ def config2_allpairs_32():
     from fhe_icp_tpu.ops.runtime import FheRuntime
     from fhe_icp_tpu.ops.cipher import Ciphertext
     from fhe_icp_tpu.ops import dot as fhe_dot
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     b, d = 32, 128
     rt = FheRuntime("pairwise-4096")
@@ -117,13 +128,20 @@ def config2_allpairs_32():
     np.asarray(ct_fwd.data), np.asarray(ct_rev.data)
     enc_s = time.perf_counter() - t_enc0
 
-    @jax.jit
-    def step(fwd, rev, tok):
-        a = Ciphertext(fwd[:, None] ^ (tok & jnp.uint32(1)),
+    def step(tok):
+        a = Ciphertext(ct_fwd.data[:, None] ^ (tok & jnp.uint32(1)),
                        ctx.n_limbs, True)               # (B, 1, ...)
-        bb = Ciphertext(rev[None, :], ctx.n_limbs, True)  # (1, B, ...)
+        bb = Ciphertext(ct_rev.data[None, :], ctx.n_limbs, True)
         mat = fhe_dot.decrypt_dot(
             ctx, ks.sk, fhe_dot.dot_ct_ct(ctx, ks.rlk.keys, a, bb), d)
+        return (mat[0, 0] & 1).astype(jnp.uint32)
+
+    def step_deg2(tok):
+        a = Ciphertext(ct_fwd.data[:, None] ^ (tok & jnp.uint32(1)),
+                       ctx.n_limbs, True)
+        bb = Ciphertext(ct_rev.data[None, :], ctx.n_limbs, True)
+        mat = fhe_dot.decrypt_dot(
+            ctx, ks.sk, fhe_dot.dot_ct_ct_deg2(ctx, a, bb), d)
         return (mat[0, 0] & 1).astype(jnp.uint32)
 
     @jax.jit
@@ -137,11 +155,14 @@ def config2_allpairs_32():
     want = docs.astype(np.int64) @ docs.astype(np.int64).T
     assert (got == want).all(), "config2 mismatch"
 
-    m = measure_chained(lambda tok: step(ct_fwd.data, ct_rev.data, tok),
-                        c_short=2, c_long=10)
+    m = measure_ondevice_loop(step, k_short=2, k_long=10)
+    m2 = measure_ondevice_loop(step_deg2, k_short=2, k_long=10)
     emit({"config": 2, "metric": "allpairs_32_matrix_ms",
           "value": round(m["ms"], 2), "unit": "ms",
           "pairs_per_s": round(b * b / m["s"], 1),
+          # Same matrix via degree-2 immediate decrypt (no relin) — the
+          # path a consumer that decrypts right away actually takes.
+          "deg2_immediate_decrypt_ms": round(m2["ms"], 2),
           "encrypt_64_cts_s_incl_compile": round(enc_s, 3)})
 
 
@@ -151,7 +172,7 @@ def config3_search_1024():
     import jax.numpy as jnp
     from fhe_icp_tpu.ops import fastdot, pack
     from fhe_icp_tpu.ops.runtime import FheRuntime
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     b, d, k = 1024, 128, 5
     rt = FheRuntime("pairwise-4096", rlk_levels=[])
@@ -167,11 +188,10 @@ def config3_search_1024():
     q_op = pack.make_packed_query_operand(ctx, sk, jnp.asarray(q), d,
                                           ct.level)
 
-    @jax.jit
-    def step(dd, qd, tok):
-        qd = pack.PackedQueryOperand(qd.digits ^ tok.astype(jnp.int8),
-                                     qd.level, qd.d, qd.slots)
-        s = pack.packed_scores(ctx, dd, qd).reshape(-1)
+    def step(tok):
+        qd = pack.PackedQueryOperand(q_op.digits ^ tok.astype(jnp.int8),
+                                     q_op.level, q_op.d, q_op.slots)
+        s = pack.packed_scores(ctx, doc_op, qd).reshape(-1)
         vals, idx = jax.lax.top_k(s, k)
         return (vals[0] & 1).astype(jnp.uint32)
 
@@ -181,7 +201,7 @@ def config3_search_1024():
     want = docs.astype(np.int64) @ q.astype(np.int64)
     assert (got == want).all(), "config3 mismatch"
 
-    m = measure_chained(lambda tok: step(doc_op, q_op, tok))
+    m = measure_ondevice_loop(step)
     emit({"config": 3, "metric": "search_1024_docs_ms",
           "value": round(m["ms"], 3), "unit": "ms",
           "dots_per_s": round(b / m["s"], 1)})
@@ -194,7 +214,7 @@ def config4_large_ring():
     from fhe_icp_tpu.ops.runtime import FheRuntime
     from fhe_icp_tpu.ops.cipher import Ciphertext
     from fhe_icp_tpu.ops import arith, dot as fhe_dot
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     d = 128
     rt = FheRuntime("ring-16384", rlk_levels=[12])
@@ -217,13 +237,11 @@ def config4_large_ring():
     want = int(docs[0].astype(np.int64) @ docs[1].astype(np.int64))
     assert got == want, "config4 mismatch"
 
-    @jax.jit
-    def step(a_data, b_data, tok):
-        out = pipeline(a_data ^ (tok & jnp.uint32(1)), b_data)
+    def step(tok):
+        out = pipeline(ct_a.data ^ (tok & jnp.uint32(1)), ct_b.data)
         return (out & 1).astype(jnp.uint32)
 
-    m = measure_chained(lambda tok: step(ct_a.data, ct_b.data, tok),
-                        c_short=2, c_long=10)
+    m = measure_ondevice_loop(step, k_short=2, k_long=10)
     emit({"config": 4, "metric": "ring16384_mul_relin_modswitch_ms",
           "value": round(m["ms"], 2), "unit": "ms"})
 
@@ -238,7 +256,7 @@ def config5_sharded_search():
     from fhe_icp_tpu.parallel.mesh import make_mesh
     from fhe_icp_tpu.parallel.search import (make_sharded_packed_search,
                                              packed_operand_sharding)
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     n_dev = len(jax.devices())
     on_tpu = jax.default_backend() == "tpu"
@@ -276,10 +294,9 @@ def config5_sharded_search():
         step_full = make_sharded_packed_search(ctx, mesh, d=d, top_k=5,
                                                n_docs=b)
 
-        @jax.jit
-        def step(dd, qd, tok):
-            qd = qd ^ tok.astype(jnp.int8)
-            scores, vals, idx = step_full(dd, qd)
+        def step(tok):
+            qd = q_op.digits ^ tok.astype(jnp.int8)
+            scores, vals, idx = step_full(digits, qd)
             return (vals[0] & 1).astype(jnp.uint32)
 
         # correctness gate
@@ -287,8 +304,7 @@ def config5_sharded_search():
         want = docs.astype(np.int64) @ q.astype(np.int64)
         got = np.asarray(scores, np.int64)[:b]
         assert (got == want).all(), "config5 mismatch"
-        m = measure_chained(lambda tok: step(digits, q_op.digits, tok),
-                            c_short=4, c_long=20)
+        m = measure_ondevice_loop(step, k_short=4, k_long=20)
         return b / m["s"], m["ms"]
 
     mesh_n = make_mesh(n_dev, shape=(n_dev, 1))
@@ -305,13 +321,12 @@ def config5_sharded_search():
         dig_1 = jax.device_put(frac, packed_operand_sharding(mesh_1))
         step_1 = make_sharded_packed_search(ctx, mesh_1, d=d, top_k=5)
 
-        @jax.jit
-        def s1(dd, qd, tok):
-            scores, vals, idx = step_1(dd, qd ^ tok.astype(jnp.int8))
+        def s1(tok):
+            scores, vals, idx = step_1(dig_1,
+                                       q_op.digits ^ tok.astype(jnp.int8))
             return (vals[0] & 1).astype(jnp.uint32)
 
-        m1 = measure_chained(lambda tok: s1(dig_1, q_op.digits, tok),
-                             c_short=4, c_long=20)
+        m1 = measure_ondevice_loop(s1, k_short=4, k_long=20)
         rec["one_device_shard_ms"] = round(m1["ms"], 3)
         if on_tpu:
             # Real chips: weak-scaling efficiency (1 shard vs n shards
@@ -341,7 +356,7 @@ def config6_ntt_throughput():
     from fhe_icp_tpu.ops.context import CryptoContext
     from fhe_icp_tpu.ops.params import get_params
     from fhe_icp_tpu.ops.ntt import ntt_fwd, ntt_inv
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     for preset, batch in (("pairwise-4096", 512), ("ring-16384", 64)):
         ctx = CryptoContext(get_params(preset))
@@ -361,13 +376,11 @@ def config6_ntt_throughput():
         mults = batch * l * n * (n.bit_length() // 2 + 1)
         gbytes = 2 * batch * l * n * 4 / 1e9          # read + write, u32
         for name, fn in (("fwd", fwd), ("inv", inv)):
-            @jax.jit
-            def step(a, tok, fn=fn):
-                return (fn(a ^ (tok & jnp.uint32(1)))[0, 0, 0]
+            def step(tok, fn=fn):
+                return (fn(x ^ (tok & jnp.uint32(1)))[0, 0, 0]
                         & 1).astype(jnp.uint32)
 
-            m = measure_chained(lambda tok: step(x, tok),
-                                c_short=4, c_long=24)
+            m = measure_ondevice_loop(step, k_short=4, k_long=24)
             emit({"config": 6, "metric": f"ntt_{name}_{preset}",
                   "value": round(m["ms"], 3), "unit": "ms",
                   "batch_limb_transforms": batch * l,
@@ -399,7 +412,7 @@ def config7_weak_scaling():
     from fhe_icp_tpu.parallel.mesh import make_mesh
     from fhe_icp_tpu.parallel.search import (make_sharded_packed_search,
                                              packed_operand_sharding)
-    from fhe_icp_tpu.utils.profiling import measure_chained
+    from fhe_icp_tpu.utils.profiling import measure_ondevice_loop
 
     n_dev = len(jax.devices())
     on_tpu = jax.default_backend() == "tpu"
@@ -433,17 +446,16 @@ def config7_weak_scaling():
         step_full = make_sharded_packed_search(ctx, mesh, d=d, top_k=5,
                                                n_docs=b)
 
-        @jax.jit
-        def step(dd_, qd, tok):
-            scores, vals, idx = step_full(dd_, qd ^ tok.astype(jnp.int8))
+        def step(tok):
+            scores, vals, idx = step_full(digits,
+                                          q_op.digits ^ tok.astype(jnp.int8))
             return (vals[0] & 1).astype(jnp.uint32)
 
         scores, vals, idx = step_full(digits, q_op.digits)
         want = docs.astype(np.int64) @ q.astype(np.int64)
         got = np.asarray(scores, np.int64)[:b]
         assert (got == want).all(), f"config7 mismatch at D={dd}"
-        m = measure_chained(lambda tok: step(digits, q_op.digits, tok),
-                            c_short=2, c_long=8)
+        m = measure_ondevice_loop(step, k_short=2, k_long=8)
         ladder.append((dd, m["ms"]))
 
     t1 = ladder[0][1]

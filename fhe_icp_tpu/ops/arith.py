@@ -95,6 +95,19 @@ def mul_ct(ctx: CryptoContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
                       a.pt_corr * b.pt_corr % ctx.t)
 
 
+def _flatten_batch(x):
+    """(..., l, N) -> ((B, l, N), lead): XLA's TPU backend runs
+    elementwise fusions ~4-5x slower on rank>3 arrays (measured for the
+    NTT in ntt.py:158-165 and for the keyswitch chain on-chip:
+    benchmarks/diag_relin_profile.py found the rank-5 hybrid keyswitch
+    at 67 ms/step vs ~17 ms for its transforms alone), so every
+    keyswitch entry point flattens leading batch dims once."""
+    lead = x.shape[:-2]
+    if len(lead) <= 1:
+        return x, None
+    return x.reshape((-1,) + x.shape[-2:]), lead
+
+
 def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     """Accumulate sum_j digit_j(c) * ksk[j] -> (d0, d1) NTT-domain polys.
 
@@ -104,6 +117,7 @@ def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     the coefficient-domain limbs of c, each broadcast/reduced to all
     limbs and re-NTT'd.
     """
+    c_ntt, lead = _flatten_batch(c_ntt)
     p, pinv, mu = ctx.lp(l), ctx.lpinv(l), ctx.mu_p[:l]
     c_coeff = ntt_inv(ctx.plan, c_ntt)
     acc0 = acc1 = None
@@ -115,6 +129,9 @@ def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
         t1 = mont_mul(d_ntt, ksk[j, 1], p, pinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, p)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, p)
+    if lead is not None:
+        acc0 = acc0.reshape(lead + acc0.shape[-2:])
+        acc1 = acc1.reshape(lead + acc1.shape[-2:])
     return acc0, acc1
 
 
@@ -127,7 +144,8 @@ def _div_special(ctx: CryptoContext, ht, x_ntt, l: int):
     message term intact (no pt_corr change); the keyswitch noise
     shrinks by ~P.
     """
-    x = ntt_inv(ht.plan, x_ntt)                       # (..., l+1, N)
+    x_ntt, lead = _flatten_batch(x_ntt)               # (B', l+1, N)
+    x = ntt_inv(ht.plan, x_ntt)
     sp, sp_pinv = ht.p[l, 0], ht.pinv[l, 0]
     u = mont_mul(x[..., l, :], ht.t_inv_mont_sp[0, 0], sp, sp_pinv)
     rest = x[..., :l, :]
@@ -137,7 +155,8 @@ def _div_special(ctx: CryptoContext, ht, x_ntt, l: int):
                   sub_mod(w, ht.sp_mod_pi, p), w)
     delta = mont_mul(w, ctx.t_mont_p[:l], p, pinv)
     out = mont_mul(sub_mod(rest, delta, p), ht.inv_sp_mont, p, pinv)
-    return ntt_fwd(ctx.plan, out)
+    out = ntt_fwd(ctx.plan, out)
+    return out if lead is None else out.reshape(lead + out.shape[-2:])
 
 
 def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
@@ -149,33 +168,42 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     digits) or 2l (16-bit sub-digits, re-keying).  Returns (d0, d1)
     NTT-domain polys over Q_l.
     """
+    c_ntt, lead = _flatten_batch(c_ntt)               # (B, l, N)
     ht = ctx.hybrid(l)
     pe, pinve = ht.p, ht.pinv
     n_dig = ksk.shape[0]
     d_per = n_dig // l
-    c_coeff = ntt_inv(ctx.plan, c_ntt)                # (..., l, N)
+    n = ctx.n
+    c_coeff = ntt_inv(ctx.plan, c_ntt)                # (B, l, N)
+    # All digit math runs with the digit axis FOLDED INTO the batch axis
+    # — (B*n_dig, l+1, N), rank 3 — see _flatten_batch for why.
     if d_per == 1:
         # Full-limb CRT digits, broadcast-reduced to the extended chain.
-        d_res = barrett_reduce(c_coeff[..., :, None, :], pe, ht.mu)
+        d_flat = c_coeff.reshape((-1, 1, n))          # (B*l, 1, N)
+        d_res = barrett_reduce(d_flat, pe, ht.mu)     # (B*l, l+1, N)
     else:
         assert d_per == 2, "only 16-bit sub-digits are supported"
         lo = c_coeff & jnp.uint32(0xFFFF)
         hi = c_coeff >> 16
-        d = jnp.stack([lo, hi], axis=-2)              # (..., l, 2, N)
-        d = d.reshape(d.shape[:-3] + (n_dig, ctx.n))
+        d = jnp.stack([lo, hi], axis=-2)              # (B, l, 2, N)
+        d = d.reshape((-1, 1, n))                     # (B*n_dig, 1, N)
         # Digits < 2^16 < every prime: residues are the values themselves
         # (materialized per extended limb — the NTT twiddles differ).
-        d_res = jnp.broadcast_to(d[..., :, None, :],
-                                 d.shape[:-1] + (l + 1, ctx.n))
-    d_ntt = ntt_fwd(ht.plan, d_res)                   # (..., n_dig, l+1, N)
+        d_res = jnp.broadcast_to(d, (d.shape[0], l + 1, n))
+    d_ntt = ntt_fwd(ht.plan, d_res)                   # (B*n_dig, l+1, N)
+    d_ntt = d_ntt.reshape((-1, n_dig) + d_ntt.shape[-2:])
     acc0 = acc1 = None
     for j in range(n_dig):
-        t0 = mont_mul(d_ntt[..., j, :, :], ksk[j, 0], pe, pinve)
-        t1 = mont_mul(d_ntt[..., j, :, :], ksk[j, 1], pe, pinve)
+        t0 = mont_mul(d_ntt[:, j], ksk[j, 0], pe, pinve)
+        t1 = mont_mul(d_ntt[:, j], ksk[j, 1], pe, pinve)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, pe)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, pe)
     out = _div_special(ctx, ht, jnp.stack([acc0, acc1], axis=-3), l)
-    return out[..., 0, :, :], out[..., 1, :, :]
+    d0, d1 = out[..., 0, :, :], out[..., 1, :, :]
+    if lead is not None:
+        d0 = d0.reshape(lead + d0.shape[-2:])
+        d1 = d1.reshape(lead + d1.shape[-2:])
+    return d0, d1
 
 
 def keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
@@ -198,10 +226,13 @@ def relinearize(ctx: CryptoContext, rlk_keys, ct: Ciphertext) -> Ciphertext:
     l = ct.level
     rk = rlk_keys[l]                       # hybrid or gadget key
     p = ctx.lp(l)
-    d0, d1 = keyswitch_apply(ctx, rk, ct.data[..., 2, :, :], l)
-    acc0 = add_mod(ct.data[..., 0, :, :], d0, p)
-    acc1 = add_mod(ct.data[..., 1, :, :], d1, p)
-    return Ciphertext(jnp.stack([acc0, acc1], axis=-3), l, True, ct.pt_corr)
+    lead = ct.data.shape[:-3]
+    data = ct.data.reshape((-1,) + ct.data.shape[-3:])   # (B, 3, l, N)
+    d0, d1 = keyswitch_apply(ctx, rk, data[:, 2], l)
+    acc0 = add_mod(data[:, 0], d0, p)
+    acc1 = add_mod(data[:, 1], d1, p)
+    out = jnp.stack([acc0, acc1], axis=-3).reshape(lead + (2, l, ctx.n))
+    return Ciphertext(out, l, True, ct.pt_corr)
 
 
 def rekey(ctx: CryptoContext, ksk, ct: Ciphertext) -> Ciphertext:
@@ -215,9 +246,12 @@ def rekey(ctx: CryptoContext, ksk, ct: Ciphertext) -> Ciphertext:
     """
     assert ct.k == 2 and ct.is_ntt
     l = ct.level
-    d0, d1 = keyswitch_apply(ctx, ksk, ct.data[..., 1, :, :], l)
-    c0 = add_mod(ct.data[..., 0, :, :], d0, ctx.lp(l))
-    return Ciphertext(jnp.stack([c0, d1], axis=-3), l, True, ct.pt_corr)
+    lead = ct.data.shape[:-3]
+    data = ct.data.reshape((-1,) + ct.data.shape[-3:])   # (B, 2, l, N)
+    d0, d1 = keyswitch_apply(ctx, ksk, data[:, 1], l)
+    c0 = add_mod(data[:, 0], d0, ctx.lp(l))
+    out = jnp.stack([c0, d1], axis=-3).reshape(lead + (2, l, ctx.n))
+    return Ciphertext(out, l, True, ct.pt_corr)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +279,9 @@ def mod_switch(ctx: CryptoContext, ct: Ciphertext) -> Ciphertext:
             f"(q'={ctx.q_at(l - 1).bit_length()} bits vs t={ctx.t.bit_length()} "
             f"bits, N={ctx.n})")
     lt = ctx.levels[l]
-    x = ntt_inv(ctx.plan, ct.data)                    # (..., k, l, N)
+    lead = ct.data.shape[:-2]                         # (..., k) batch+poly
+    flat = ct.data.reshape((-1,) + ct.data.shape[-2:])   # (B*k, l, N)
+    x = ntt_inv(ctx.plan, flat)
     pd = ctx.p[l - 1, 0]
     pd_inv = ctx.p_neg_inv[l - 1, 0]
     c_last = x[..., l - 1, :]
@@ -257,7 +293,8 @@ def mod_switch(ctx: CryptoContext, ct: Ciphertext) -> Ciphertext:
                   sub_mod(w, lt.pd_mod_pi, p), w)
     delta = mont_mul(w, ctx.t_mont_p[: l - 1], p, pinv)
     out = mont_mul(sub_mod(rest, delta, p), lt.inv_pd_mont, p, pinv)
-    return Ciphertext(ntt_fwd(ctx.plan, out), l - 1, True,
+    out = ntt_fwd(ctx.plan, out).reshape(lead + (l - 1, ctx.n))
+    return Ciphertext(out, l - 1, True,
                       ct.pt_corr * ctx.primes[l - 1] % ctx.t)
 
 

@@ -4,7 +4,7 @@ Algorithm
 ---------
 Negacyclic convolution (mod X^N + 1) is computed as: twist by powers of
 psi (a 2N-th root of unity), then a *cyclic* NTT.  The cyclic transform
-is a reshape-based radix-2 pair:
+is a reshape-based butterfly pair:
 
 * forward  = decimation-in-frequency (Gentleman-Sande), natural input ->
   bit-reversed output;
@@ -12,9 +12,13 @@ is a reshape-based radix-2 pair:
   natural output.
 
 Pointwise products happen in bit-reversed order, so no bit-reversal
-permutation is ever materialized.  Every stage is a contiguous reshape
-(..., B, 2, m) plus vectorized butterflies — no gathers, XLA-friendly,
-and the same code is bit-exact on CPU and TPU.
+permutation is ever materialized.  Every pass is a contiguous reshape
+plus vectorized butterflies — no gathers, XLA-friendly, and the same
+code is bit-exact on CPU and TPU.  Consecutive stages are fused into
+RADIX-4 passes (two butterfly levels per HBM round trip): at production
+batch sizes the transform is HBM-bandwidth-bound, not VPU-bound —
+measured ~11 effective memory passes for 12 radix-2 stages at N=4096 —
+so halving the passes is the dominant lever (see _cyclic_fwd).
 
 Data layout: polynomials are `(..., L, N)` uint32, one row per RNS limb;
 all twiddle tables carry a leading L axis.  Per-limb twiddle products

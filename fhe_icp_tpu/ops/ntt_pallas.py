@@ -25,14 +25,16 @@ kernel is the hand-written path of its TPU-native replacement
 (SURVEY.md §7.2 step 3, BASELINE.json "NTT limb-mults/s").
 
 Measured reality (v5e, pairwise-4096, 512x3 limb-NTTs, chained-readback
-timing): forward 0.697 ms/step (TR=16) vs 0.705 ms for the jnp path —
-the transform is BOUND BY u32 VPU MULTIPLY THROUGHPUT, not HBM, so
-eliminating the inter-stage HBM traffic buys almost nothing and the two
-implementations tie.  ops/ntt.py therefore remains the default
-(simpler, and faster for the inverse, where Mosaic's small-stride
-sublane shuffles lower poorly); this kernel is kept as the validated
-bit-exact Pallas alternative and the starting point for future
-in-kernel fusion of pointwise ops into the transform.
+timing): forward 0.697 ms/step (TR=16) vs 0.705 ms for the round-3
+radix-2 jnp path.  The round-4 diagnosis revised the earlier "VPU
+multiply bound" reading: the JNP path was HBM-bound (~11 memory passes)
+while THIS kernel — despite touching HBM only twice — is bound by
+Mosaic's lowering of the in-VMEM transposes and small-stride sublane
+butterflies, and the two bottlenecks coincidentally tied.  ops/ntt.py
+now fuses stage pairs into radix-4 passes (half the HBM traffic) and
+remains the default; this kernel is kept as the validated bit-exact
+Pallas alternative and the starting point for future in-kernel fusion
+of pointwise ops into the transform.
 """
 
 from __future__ import annotations
