@@ -157,12 +157,19 @@ def config2_allpairs_32():
 
     m = measure_ondevice_loop(step, k_short=2, k_long=10)
     m2 = measure_ondevice_loop(step_deg2, k_short=2, k_long=10)
+    # Relin roofline: the op is NTT-dominated; report distance from the
+    # per-transform HBM floor (utils/profiling.keyswitch_footprint).
+    from fhe_icp_tpu.utils.profiling import keyswitch_footprint
+    fp = keyswitch_footprint(ctx.n, ctx.n_limbs,
+                             ks.rlk.keys[ctx.n_limbs].shape[0], batch=b * b)
     emit({"config": 2, "metric": "allpairs_32_matrix_ms",
           "value": round(m["ms"], 2), "unit": "ms",
           "pairs_per_s": round(b * b / m["s"], 1),
           # Same matrix via degree-2 immediate decrypt (no relin) — the
           # path a consumer that decrypts right away actually takes.
           "deg2_immediate_decrypt_ms": round(m2["ms"], 2),
+          "relin_limb_transforms": fp["limb_transforms"],
+          "relin_hbm_floor_gbs": round(fp["min_hbm_bytes"] / m["s"] / 1e9, 1),
           "encrypt_64_cts_s_incl_compile": round(enc_s, 3)})
 
 

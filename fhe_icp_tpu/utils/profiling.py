@@ -136,6 +136,23 @@ def roofline(fn: Callable, *args, bytes_accessed: int, ops: int = 0,
     return out
 
 
+def keyswitch_footprint(n: int, l: int, n_dig: int, batch: int = 1) -> Dict:
+    """Cost model of one hybrid keyswitch: limb-transforms + minimum HBM.
+
+    Per switched polynomial (ops/arith.hybrid_keyswitch_apply): one INTT
+    over l limbs, a forward NTT of n_dig digits over the l+1 extended
+    chain, the key-product accumulation, then divide-by-P = one extended
+    INTT of 2 polys and one forward NTT of 2 polys over l limbs.  The
+    returned dict lets a benchmark report its distance from the
+    transform-count bound (the op is NTT-dominated) and from the HBM
+    floor (each transform reads+writes its operand at least once).
+    """
+    le = l + 1
+    lt = batch * (l + n_dig * le + 2 * le + 2 * l)
+    hbm = 4 * n * 2 * lt                   # u32 read+write per transform
+    return {"limb_transforms": lt, "min_hbm_bytes": hbm}
+
+
 # HBM bandwidth spec by device kind (GB/s).  Measured probes are
 # misleading here: a plain VPU read-reduce sustains LESS than the MXU
 # int8 matmul path (the widening reduce, not HBM, limits it), so the
