@@ -99,7 +99,9 @@ def config1_single_compare():
         "config1 deg2 mismatch"
 
     m = measure_ondevice_loop(step, k_short=4, k_long=24)
-    m2 = measure_ondevice_loop(step_deg2, k_short=4, k_long=24)
+    # The deg2 step is tens of microseconds — it needs far longer loops
+    # than the relinearized step for the slope to rise above noise.
+    m2 = measure_ondevice_loop(step_deg2, k_short=64, k_long=512)
     emit({"config": 1, "metric": "single_ct_ct_compare_ms",
           "value": round(m["ms"], 3), "unit": "ms",
           "ops_per_s": round(1.0 / m["s"], 1),
@@ -384,8 +386,8 @@ def config6_ntt_throughput():
         gbytes = 2 * batch * l * n * 4 / 1e9          # read + write, u32
         for name, fn in (("fwd", fwd), ("inv", inv)):
             def step(tok, fn=fn):
-                return (fn(x ^ (tok & jnp.uint32(1)))[0, 0, 0]
-                        & 1).astype(jnp.uint32)
+                return ((fn(x ^ (tok & jnp.uint32(1))).sum())
+                        & jnp.uint32(1))
 
             m = measure_ondevice_loop(step, k_short=4, k_long=24)
             emit({"config": 6, "metric": f"ntt_{name}_{preset}",
@@ -393,6 +395,29 @@ def config6_ntt_throughput():
                   "batch_limb_transforms": batch * l,
                   "limb_mults_per_s": round(mults / m["s"], 0),
                   "gb_per_s_roundtrip_min": round(gbytes / m["s"], 1)})
+
+        if preset == "pairwise-4096":
+            # The round-3-prescribed experiment: four-step NTT with int8
+            # MXU DFT-matrix sub-transforms (ops/ntt_mxu.py), measured
+            # against the butterfly path on the same batch.  Kept in the
+            # artifact whichever way it lands.
+            from fhe_icp_tpu.ops.ntt_mxu import ntt_fwd_mxu
+            mxu = jax.jit(lambda a: ntt_fwd_mxu(ctx, a, n1=128))
+            bb = min(batch, 256)
+            xs = x[:bb]
+            m = measure_ondevice_loop(
+                lambda tok: (mxu(xs ^ (tok & jnp.uint32(1))).sum()
+                             & jnp.uint32(1)),
+                k_short=4, k_long=24)
+            mj = measure_ondevice_loop(
+                lambda tok: (fwd(xs ^ (tok & jnp.uint32(1))).sum()
+                             & jnp.uint32(1)),
+                k_short=4, k_long=24)
+            emit({"config": 6, "metric": "ntt_fwd_mxu_fourstep_vs_butterfly",
+                  "batch_limb_transforms": bb * l,
+                  "mxu_fourstep_ms": round(m["ms"], 3),
+                  "butterfly_ms": round(mj["ms"], 3),
+                  "mxu_over_butterfly": round(m["ms"] / mj["ms"], 2)})
 
 
 def config7_weak_scaling():
