@@ -97,6 +97,32 @@ def packed_operand_sharding(mesh) -> jax.sharding.NamedSharding:
         mesh, jax.sharding.PartitionSpec(None, DP_AXIS, None))
 
 
+def topk_hierarchical(flat, k: int, seg: int = 4096):
+    """EXACT top-k of a long vector without a full sort.
+
+    lax.top_k over a flat (n,) vector lowers to a full O(n log n) sort
+    on TPU — at 100k scores that sort costs more than the scoring matmul
+    itself.  Splitting into segments, batch-top-k'ing each (one pass),
+    and merging the s*k survivors is exact (any global top-k element is
+    a top-k element of its segment) and turns the cost into O(n) + a
+    tiny sort.
+    """
+    n = flat.shape[0]
+    if n <= 2 * seg:
+        return jax.lax.top_k(flat, min(k, n))
+    s = -(-n // seg)
+    pad = s * seg - n
+    fp = flat
+    if pad:
+        fp = jnp.concatenate(
+            [flat, jnp.full((pad,), jnp.iinfo(flat.dtype).min, flat.dtype)])
+    kk = min(k, seg)
+    v, i = jax.lax.top_k(fp.reshape(s, seg), kk)       # (s, kk) batched
+    gi = (i + (jnp.arange(s) * seg)[:, None]).reshape(-1)
+    fv, fpos = jax.lax.top_k(v.reshape(-1), k)
+    return fv, gi[fpos]
+
+
 def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
                                top_k: int = 5, pt_corr: int = 1,
                                n_docs: int | None = None):
@@ -146,7 +172,7 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
             ranked = jnp.where(base + jnp.arange(flat.shape[0]) < n_docs,
                                flat, jnp.iinfo(jnp.int32).min)
         k = min(top_k, flat.shape[0])
-        l_vals, l_idx = jax.lax.top_k(ranked, k)       # per-shard top-k
+        l_vals, l_idx = topk_hierarchical(ranked, k)   # per-shard top-k
         vals_all = jax.lax.all_gather(l_vals, DP_AXIS)         # (n_dp, k)
         idx_all = jax.lax.all_gather(l_idx + base, DP_AXIS)    # (n_dp, k)
         m_vals, m_pos = jax.lax.top_k(vals_all.reshape(-1), k)

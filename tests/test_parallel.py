@@ -141,3 +141,19 @@ def test_sharded_packed_search_pad_masking(rt):
     order = np.argsort(-truth)[:k]
     assert (np.asarray(vals, np.int64) == truth[order]).all()
     assert (np.asarray(idx) < batch).all()
+
+
+def test_topk_hierarchical_matches_full_sort():
+    """Exact hierarchical top-k == lax.top_k on long vectors, incl. ties
+    and negative scores."""
+    import jax
+    from fhe_icp_tpu.parallel.search import topk_hierarchical
+    rng = np.random.default_rng(3)
+    for n in (4096, 9000, 100_000):
+        flat = jnp.asarray(rng.integers(-2**31 + 1, 2**31 - 1, size=(n,),
+                                        dtype=np.int64).astype(np.int32))
+        hv, hi = topk_hierarchical(flat, 5)
+        fv, fi = jax.lax.top_k(flat, 5)
+        assert (np.asarray(hv) == np.asarray(fv)).all()
+        # values at indices must match (indices may differ only on ties)
+        assert (np.asarray(flat)[np.asarray(hi)] == np.asarray(fv)).all()
