@@ -168,6 +168,9 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     digits) or 2l (16-bit sub-digits, re-keying).  Returns (d0, d1)
     NTT-domain polys over Q_l.
     """
+    squeeze = c_ntt.ndim == 2                         # single (l, N) poly
+    if squeeze:
+        c_ntt = c_ntt[None]
     c_ntt, lead = _flatten_batch(c_ntt)               # (B, l, N)
     ht = ctx.hybrid(l)
     pe, pinve = ht.p, ht.pinv
@@ -200,7 +203,9 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, pe)
     out = _div_special(ctx, ht, jnp.stack([acc0, acc1], axis=-3), l)
     d0, d1 = out[..., 0, :, :], out[..., 1, :, :]
-    if lead is not None:
+    if squeeze:
+        d0, d1 = d0[0], d1[0]
+    elif lead is not None:
         d0 = d0.reshape(lead + d0.shape[-2:])
         d1 = d1.reshape(lead + d1.shape[-2:])
     return d0, d1

@@ -135,3 +135,19 @@ def test_dot_ct_ct_slots(rt, gkeys):
     want = int(np.sum(a.astype(np.int64) * b.astype(np.int64)))
     want = _center_t(np.int64(want), ctx.t)
     assert (got == want).all()
+
+
+def test_rotate_preserves_ciphertext_shape(rt, gkeys):
+    """Keyswitch consumers must return EXACTLY the input shape — a
+    leading broadcast-1 dim would silently propagate (caught by
+    config 8: decode indexing assumed scalar)."""
+    ctx = rt.ctx
+    vals = RNG.integers(-30, 31, size=(2, ctx.n // 2)).astype(np.int32)
+    ct = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(vals))),
+                    seed=77)
+    out = galois.rotate_slots(ctx, gkeys, ct, 3)
+    assert out.data.shape == ct.data.shape
+    batched = rt.encrypt(np.asarray(galois.encode_slots(
+        ctx, jnp.asarray(np.stack([vals, vals])))), seed=78)
+    out_b = galois.rotate_slots(ctx, gkeys, batched, 3)
+    assert out_b.data.shape == batched.data.shape
