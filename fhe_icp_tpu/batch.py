@@ -98,17 +98,36 @@ class BatchProcessor:
 
     def _self_validate(self) -> None:
         """Identical embeddings must score ~1.0 under real encryption
-        (reference batch_operations.py:96-103, tolerance ±0.2)."""
+        (reference batch_operations.py:96-103, tolerance ±0.2).
+
+        The whole check — encrypt both encodings, degree-2 encrypted
+        dot, exact decode — runs as ONE jitted program: on remote-
+        compile TPU tunnels every separate graph costs ~30 s to build,
+        and a four-graph version dominated cold BatchProcessor init
+        (measured ~145 s total; benchmarks/coldstart.py).
+        """
+        import jax
+        import jax.numpy as jnp
+        from .ops import dot as fhe_dot
+        from .ops.cipher import encrypt_sym
+        from .ops.encoding import encode_fwd, encode_rev
+        from .ops.runtime import fresh_prng_key
+
         rng = np.random.default_rng(0)
         e = rng.standard_normal(self.target_dim)
         q, _ = prepare_embedding_for_fhe(e, self.scale)
-        ct_fwd = self.runtime.encrypt_vector(q)
-        ct_rev = self.runtime.encrypt_vector(q, rev=True)
-        # Degree-2 decrypt (same math as compare_encrypted): keeps the
-        # heavyweight relinearization graph out of cold-start compiles.
-        raw = int(self.runtime.decrypt_dot(
-            self.runtime.dot_ct_ct(ct_fwd, ct_rev, relinearize=False),
-            self.target_dim))
+        ctx, sk = self.runtime.ctx, self.runtime.keys.sk
+        d = self.target_dim
+
+        @jax.jit
+        def fused(k1, k2, vec):
+            ct_f = encrypt_sym(ctx, sk, k1, encode_fwd(vec, ctx.n))
+            ct_r = encrypt_sym(ctx, sk, k2, encode_rev(vec, ctx.n))
+            return fhe_dot.decrypt_dot(
+                ctx, sk, fhe_dot.dot_ct_ct_deg2(ctx, ct_f, ct_r), d)
+
+        raw = int(fused(fresh_prng_key(), fresh_prng_key(),
+                        jnp.asarray(q, dtype=jnp.int32)))
         sim = dequantize_score(raw, self.scale)
         if abs(sim - 1.0) > 0.2:
             logger.warning("model self-validation: identical-pair "
