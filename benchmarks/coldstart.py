@@ -73,7 +73,7 @@ def main() -> None:
     rec["warm_compare_s"] = round(time.time() - t0, 1)
 
     out = Path(__file__).parent / f"coldstart_{rec['backend']}.json"
-    out.write_text(json.dumps(rec, indent=2))
+    out.write_text(json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec))
 
 

@@ -1,4 +1,4 @@
-"""BASELINE.json benchmark configs 1-5, runnable on TPU or CPU.
+"""BASELINE.json benchmark configs 1-8, runnable on TPU or CPU.
 
 Each config prints one JSON line and appends to the results list written
 to `benchmarks/results_<backend>.json`.  Every timed computation is
@@ -15,8 +15,12 @@ Configs (BASELINE.json "configs"):
   5. sharded search over a device mesh + weak-scaling efficiency
      (on the 8-virtual-device CPU mesh this exercises the real pjit
      sharding path; on a 1-chip TPU it reports the single-shard rate)
+  6. NTT limb-mults/s (fwd+inv, both rings) + the MXU four-step
+     comparison
+  7. weak-scaling ladder D=1..8 on the virtual mesh
+  8. Galois slot-packing vs coefficient packing (latency + noise)
 
-Usage:  python benchmarks/run_configs.py [--configs 1,2,3,4,5]
+Usage:  python benchmarks/run_configs.py [--configs 1,...,8]
         (CPU mesh: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
 """
 
@@ -623,7 +627,7 @@ def main() -> None:
         except Exception as e:  # keep going; record the failure
             emit({"config": c, "error": f"{type(e).__name__}: {e}"})
     out = Path(__file__).parent / f"results_{jax.default_backend()}.json"
-    out.write_text(json.dumps(RESULTS, indent=2))
+    out.write_text(json.dumps(RESULTS, indent=2) + "\n")
     print(f"# wrote {out}", file=sys.stderr)
 
 
