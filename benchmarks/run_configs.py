@@ -413,10 +413,12 @@ def config6_ntt_throughput():
                 lambda tok: (mxu(xs ^ (tok & jnp.uint32(1))).sum()
                              & jnp.uint32(1)),
                 k_short=4, k_long=24)
+            # The butterfly side is ~0.2 ms — needs longer loops for the
+            # slope to rise above tunnel noise.
             mj = measure_ondevice_loop(
                 lambda tok: (fwd(xs ^ (tok & jnp.uint32(1))).sum()
                              & jnp.uint32(1)),
-                k_short=4, k_long=24)
+                k_short=16, k_long=128)
             emit({"config": 6, "metric": "ntt_fwd_mxu_fourstep_vs_butterfly",
                   "batch_limb_transforms": bb * l,
                   "mxu_fourstep_ms": round(m["ms"], 3),

@@ -232,10 +232,16 @@ def _flatten_lead(x):
 # a (512, 2, N) = 17 MB transform runs at 0.082 us/limb-transform —
 # XLA keeps ALL butterfly stages VMEM-resident — while (1024, 2, N) =
 # 34 MB drops to 0.40 and (2048, 3, N) = 100 MB to 0.94: past the VMEM
-# budget every stage becomes an HBM round trip.  lax.map over <=16 MB
-# chunks keeps each chunk's whole transform on-chip; the chunk loop's
-# only HBM traffic is one read + one write of the batch.
+# budget every stage becomes an HBM round trip.  Chunking keeps each
+# chunk's whole transform on-chip; the only HBM traffic is one read +
+# one write of the batch.
 _CHUNK_BYTES = 16 << 20
+# ...but the effect needs MANY rows per chunk to amortize the chunk
+# boundary: at N=16384 x 12 limbs a 16 MB chunk holds only 21 rows and
+# chunking measures 2-3x SLOWER than the plain transform (6.6/11.6 ms
+# vs 3.5/3.3 ms fwd/inv on the config-4 batch).  Only chunk when a
+# chunk still holds a substantial row count.
+_MIN_CHUNK_ROWS = 128
 
 
 def _map_chunked(fn, x):
@@ -252,7 +258,7 @@ def _map_chunked(fn, x):
     b = x.shape[0]
     row_bytes = x.shape[-2] * x.shape[-1] * 4
     rows = max(1, _CHUNK_BYTES // row_bytes)
-    if b <= rows:
+    if b <= rows or rows < _MIN_CHUNK_ROWS:
         return fn(x)
     outs = [fn(x[i: i + rows]) for i in range(0, b, rows)]
     return jnp.concatenate(outs, axis=0)
