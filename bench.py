@@ -136,6 +136,7 @@ def main() -> None:
                      / (k_long - k_short) for _ in range(reps))
     dt = samples[reps // 2]                        # median slope
     ops_per_s = batch / dt
+    spread = (samples[-1] - samples[0]) / dt       # min-to-max over median
 
     # Roofline accounting on stderr (stdout carries ONLY the JSON line).
     ct_bytes = doc_op.digits.size                  # int8: 1 byte/elem
@@ -145,7 +146,6 @@ def main() -> None:
         spec = hbm_spec_gbs()
         note = (f" = {eff_gbs / spec:.0%} of {spec:.0f} GB/s HBM spec"
                 if spec else "")
-        spread = (samples[-1] - samples[0]) / dt
         print(f"[roofline] scoring reads {eff_gbs:.0f} GB/s{note}; "
               f"{dt * 1e3:.3f} ms/step (median of {reps}, spread "
               f"{spread:.0%}), {slots} docs/ciphertext", file=sys.stderr)
@@ -163,11 +163,15 @@ def main() -> None:
           f"the 3-limb round-1 preset); packed scoring operand "
           f"{per_doc:.0f} B/doc ({slots} docs/ct)", file=sys.stderr)
 
+    # Run-to-run spread rides the machine-readable line (round-4 verdict
+    # weak #6: 30-36% spread lived only in stderr prose).
     print(json.dumps({
         "metric": "encrypted_dot_products_per_s",
         "value": round(ops_per_s, 2),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_s / BASELINE_DOT_PER_S, 1),
+        "spread_pct": round(100.0 * spread, 1),
+        "n_runs": reps,
     }))
 
 

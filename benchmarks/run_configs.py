@@ -530,18 +530,19 @@ def config8_galois_vs_coeff():
     The production scoring path uses COEFFICIENT packing (encode_fwd/
     encode_rev + one pointwise multiply puts the inner product in one
     coefficient — ops/encoding.py); the SIMD alternative packs values in
-    NTT slots and computes the dot as slotwise-multiply + log2(slots)
-    rotate-and-sum keyswitches (ops/galois.dot_ct_ct_slots).  This row
-    turns the design choice into a measurement: latency and noise cost
-    of both fully-encrypted dots, d=128.
+    NTT slots and computes the dot as slotwise-multiply + rotate-and-sum
+    keyswitches (ops/galois.dot_ct_ct_slots).  Three measurements:
 
-    Preset note (measured): at the production `pairwise-4096` 2-limb
-    chain the Galois path is NOT EVEN DECRYPTABLE — the 13 rotate-and-
-    sum keyswitches wrap the noise (budget 0 bits, scores garbage) while
-    coefficient packing finishes with budget to spare.  The comparison
-    therefore runs on `mult-8192` (6 limbs), where both are exact; the
-    infeasibility at compact parameters is recorded in the row — it is
-    half the reason coefficient packing is the production encoding.
+    * mult-8192 (6 limbs, roomy): coeff vs full rotate-and-sum
+      (log2(N/2)+1 = 13 keyswitches) vs the d=128 prefix chain
+      (log2(d) = 7 keyswitches) — latency + noise budgets, all exact.
+    * pairwise-4096 (production): the prefix chain with FINE-digit
+      rotation keys, showing the measured structural floor — post-relin
+      budget is 4 bits and the 128-term fan-in consumes it (budget 0,
+      undecryptable); t-bound, not keyswitch-quality-bound.
+    * galois-4096 (same secure ring, t = T_GALOIS ~ 2^21.78): the prefix
+      dot decrypts EXACTLY with budget to spare — the measured
+      feasibility floor recorded in params.py.
     """
     import jax
     import jax.numpy as jnp
@@ -573,44 +574,96 @@ def config8_galois_vs_coeff():
 
     m_coeff = measure_ondevice_loop(body_coeff, k_short=4, k_long=20)
 
-    # -- Galois slot packing (rotate-and-sum) ------------------------------
-    slots_shape = (2, ctx.n // 2)
-    va = np.zeros(slots_shape, dtype=np.int32)
-    vb = np.zeros(slots_shape, dtype=np.int32)
-    va[0, :d] = docs[0]
-    vb[0, :d] = docs[1]
-    sa = rt.encrypt_slots(va, seed=22)
-    sb = rt.encrypt_slots(vb, seed=23)
-    gkeys = rt.rotation_keys(seed=24)
-    prod_slots = rt.dot_ct_ct_slots(sa, sb)
-    got_slots = int(np.asarray(rt.decrypt_slots(prod_slots))[0, 0])
+    # -- Galois slot packing (rotate-and-sum), mult-8192 -------------------
+    def slot_operands(rt_, seed0):
+        shape = (2, rt_.ctx.n // 2)
+        va = np.zeros(shape, dtype=np.int32)
+        vb = np.zeros(shape, dtype=np.int32)
+        va[0, :d] = docs[0]
+        vb[0, :d] = docs[1]
+        return (rt_.encrypt_slots(va, seed=seed0),
+                rt_.encrypt_slots(vb, seed=seed0 + 1))
+
+    sa, sb = slot_operands(rt, 22)
+    # Coarse (full-limb) digits suffice at 6 limbs; fine digits would
+    # double keygen + apply cost for no budget benefit here.
+    gkeys = rt.rotation_keys(seed=24, digit_bits=0)
     t = ctx.t
     want_mod_t = (want % t + t // 2) % t - t // 2
-    assert got_slots == want_mod_t, "config8 slots mismatch"
+    prod_slots = rt.dot_ct_ct_slots(sa, sb)
+    assert int(np.asarray(rt.decrypt_slots(prod_slots))[0, 0]) == want_mod_t, \
+        "config8 slots mismatch"
+    prod_prefix = rt.dot_ct_ct_slots(sa, sb, d=d)
+    assert int(np.asarray(rt.decrypt_slots(prod_prefix))[0, 0]) == want_mod_t, \
+        "config8 prefix mismatch"
 
     def body_slots(tok):
         a = Ciphertext(sa.data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
         out = galois.dot_ct_ct_slots(ctx, ks.rlk.keys, gkeys, a, sb)
         return (out.data[0, 0, 0] & 1).astype(jnp.uint32)
 
+    def body_prefix(tok):
+        a = Ciphertext(sa.data ^ (tok & jnp.uint32(1)), ctx.n_limbs, True)
+        out = galois.dot_ct_ct_slots(ctx, ks.rlk.keys, gkeys, a, sb, d=d)
+        return (out.data[0, 0, 0] & 1).astype(jnp.uint32)
+
     m_slots = measure_ondevice_loop(body_slots, k_short=2, k_long=8)
+    m_prefix = measure_ondevice_loop(body_prefix, k_short=2, k_long=8)
 
     emit({"config": 8, "metric": "galois_vs_coeff_dot",
           "preset": "mult-8192",
           "coeff_packing_ms": round(m_coeff["ms"], 3),
           "galois_slots_ms": round(m_slots["ms"], 3),
+          "galois_prefix_d128_ms": round(m_prefix["ms"], 3),
           "slowdown": round(m_slots["ms"] / m_coeff["ms"], 1),
+          "prefix_slowdown": round(m_prefix["ms"] / m_coeff["ms"], 1),
           "noise_budget_fresh_bits":
               int(noise_budget_bits(ctx, ks.sk, ca, max_coeffs=32)),
           "noise_budget_coeff_dot_bits":
               int(noise_budget_bits(ctx, ks.sk, prod_coeff, max_coeffs=32)),
           "noise_budget_galois_dot_bits":
               int(noise_budget_bits(ctx, ks.sk, prod_slots, max_coeffs=32)),
+          "noise_budget_prefix_dot_bits":
+              int(noise_budget_bits(ctx, ks.sk, prod_prefix, max_coeffs=32)),
           "galois_keyswitches": int(np.log2(ctx.n // 2)) + 1,
-          "pairwise_4096_galois_budget_bits": 0,
-          "note": "galois path noise-wraps at the production 2-limb "
-                  "preset (budget 0 -> undecryptable); coefficient "
-                  "packing is exact there"})
+          "prefix_keyswitches": int(np.log2(d))})
+
+    # -- production-ring feasibility: pairwise-4096 floor vs galois-4096 ---
+    n4096 = {}
+    for preset in ("pairwise-4096", "galois-4096"):
+        rt_p = FheRuntime(preset)
+        rt_p.generate_keys(seed=0)
+        ctx_p, ks_p = rt_p.ctx, rt_p.keys
+        sa_p, sb_p = slot_operands(rt_p, 30)
+        gk_p = rt_p.rotation_keys(seed=32)           # fine 16-bit digits
+        prod_p = rt_p.dot_ct_ct_slots(sa_p, sb_p, d=d)
+        t_p = ctx_p.t
+        want_p = (want % t_p + t_p // 2) % t_p - t_p // 2
+        got_p = int(np.asarray(rt_p.decrypt_slots(prod_p))[0, 0])
+        budget = int(noise_budget_bits(ctx_p, ks_p.sk, prod_p, max_coeffs=32))
+        row = {"preset_t": t_p, "exact": got_p == want_p,
+               "budget_bits": budget}
+        if preset == "galois-4096":
+            assert got_p == want_p, "config8 galois-4096 prefix mismatch"
+
+            def body_g(tok, rt_=rt_p, sa_=sa_p, sb_=sb_p, gk_=gk_p):
+                a = Ciphertext(sa_.data ^ (tok & jnp.uint32(1)),
+                               rt_.ctx.n_limbs, True)
+                out = galois.dot_ct_ct_slots(
+                    rt_.ctx, rt_.keys.rlk.keys, gk_, a, sb_, d=d)
+                return (out.data[0, 0, 0] & 1).astype(jnp.uint32)
+
+            row["prefix_dot_ms"] = round(
+                measure_ondevice_loop(body_g, k_short=2, k_long=8)["ms"], 3)
+        n4096[preset] = row
+    emit({"config": 8, "metric": "galois_production_ring_floor",
+          "rotation_key_digit_bits": 16, "d": d,
+          "pairwise_4096": n4096["pairwise-4096"],
+          "galois_4096": n4096["galois-4096"],
+          "note": "pairwise-4096's T_COMPACT leaves 4 post-relin bits; "
+                  "the 128-term fan-in consumes them (structural, not "
+                  "keyswitch-quality) — galois-4096 (t=T_GALOIS) is the "
+                  "measured feasibility floor and decrypts exactly"})
 
 
 def main() -> None:
@@ -628,9 +681,39 @@ def main() -> None:
             fns[c]()
         except Exception as e:  # keep going; record the failure
             emit({"config": c, "error": f"{type(e).__name__}: {e}"})
+
+    # MERGE-BY-CONFIG (round-4 verdict weak #1): a partial `--configs`
+    # run must never silently drop the other configs' rows from the
+    # artifact of record.  Rows this run produced replace the same
+    # configs' old rows; every other config's rows survive verbatim.
+    # Each fresh row is stamped with the run time + git revision so the
+    # artifact is self-describing about which rows came from which HEAD.
+    import datetime
+    import subprocess
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).parent, capture_output=True, text=True,
+            timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    stamp = {"run_at": datetime.datetime.now(datetime.timezone.utc)
+             .isoformat(timespec="seconds"), "git_rev": rev}
+    for rec in RESULTS:
+        rec.update(stamp)
     out = Path(__file__).parent / f"results_{jax.default_backend()}.json"
-    out.write_text(json.dumps(RESULTS, indent=2) + "\n")
-    print(f"# wrote {out}", file=sys.stderr)
+    kept = []
+    if out.exists():
+        try:
+            kept = [r for r in json.loads(out.read_text())
+                    if r.get("config") not in wanted]
+        except Exception as e:
+            print(f"# existing {out} unreadable ({e}); rewriting whole",
+                  file=sys.stderr)
+    merged = sorted(kept + RESULTS, key=lambda r: r.get("config", 99))
+    out.write_text(json.dumps(merged, indent=2) + "\n")
+    print(f"# wrote {out} ({len(RESULTS)} fresh rows, {len(kept)} kept)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

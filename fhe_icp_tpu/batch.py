@@ -73,6 +73,14 @@ class BatchProcessor:
         self.target_dim = target_dim
         self.scale = DEFAULT_SCALE
         self.reducer = reducer
+        if self.reducer is None and self._reducer_path.exists():
+            # Every process that opens a store must reduce with the SAME
+            # projection its documents were encrypted under (the
+            # reference ships a fitted pca_reducer_128.pkl for the same
+            # reason — /root/reference/dimension_reduction.py:219-220).
+            self.reducer = DimensionReducer.load(self._reducer_path)
+            logger.info("loaded persisted %s reducer from %s",
+                        self.reducer.method, self._reducer_path)
 
         # Load (or lazily create) keys + runtime.
         if self.key_manager.get_current_key() is None:
@@ -147,14 +155,49 @@ class BatchProcessor:
             gc.collect()
 
     # -- ingestion ---------------------------------------------------------
+    # First-ingestion corpora at least this large get a PCA reducer
+    # (the reference's production choice: 87.49% similarity preservation
+    # vs 78.47% for random projection —
+    # /root/reference/SESSION_REPORT.md:61-64); smaller first corpora
+    # fall back to the seeded random projection.  At most REDUCER_FIT_MAX
+    # embeddings feed the fit (memory bound).
+    REDUCER_FIT_MAX = 512
+
+    @property
+    def _reducer_path(self):
+        return self.storage.dir / "reducer.npz"
+
+    def _fit_reducer(self, embs: np.ndarray) -> None:
+        """Fit + persist the store's reducer on the first ingested corpus.
+
+        The fitted reducer is saved beside the store and reloaded by
+        every later process.  It is fitted exactly ONCE per store: a
+        refit would silently break comparability with already-encrypted
+        documents, so upgrading an existing store's projection requires
+        re-ingesting the plaintext corpus.
+        """
+        n = int(embs.shape[0])
+        method = "pca" if n >= self.target_dim else "random"
+        self.reducer = DimensionReducer(self.target_dim, method=method)
+        self.reducer.fit(embs)
+        detail = ""
+        if n >= 3:
+            sp = self.reducer.similarity_preservation(embs)
+            detail = f", similarity preservation {sp:.4f}"
+        try:
+            self.reducer.save(self._reducer_path)
+            where = f"; persisted to {self._reducer_path}"
+        except OSError as e:
+            where = f"; persist FAILED ({e})"
+        logger.info("fitted %s reducer on %d embeddings%s%s",
+                    method, n, detail, where)
+
     def _ensure_reducer(self, embs: np.ndarray) -> DimensionReducer:
         if self.reducer is None:
-            # Fit a deterministic random-projection reducer on first use;
-            # seeded, data-independent, so every process derives the SAME
-            # projection (PCA requires a corpus — DimensionReducer.fit
-            # offline + pass via constructor).
-            self.reducer = DimensionReducer(self.target_dim, method="random")
-            self.reducer.fit(embs)
+            # Query-before-ingest on an empty store: fit (and persist)
+            # on whatever is at hand — the seeded random projection when
+            # below the PCA sample floor.
+            self._fit_reducer(embs)
         return self.reducer
 
     def _embed_reduce(self, texts: List[str]) -> np.ndarray:
@@ -207,6 +250,20 @@ class BatchProcessor:
         else:
             done_pre = []
 
+        # First ingestion into a fresh store: fit the reducer on the
+        # call's leading corpus BEFORE any encryption — PCA when the
+        # corpus is large enough, random projection otherwise (see
+        # _fit_reducer).  The fit embeddings are reduced once and reused
+        # by the loop below, so nothing is embedded twice.
+        pre_reduced: Dict[int, np.ndarray] = {}
+        if self.reducer is None and texts:
+            k = min(len(texts), self.REDUCER_FIT_MAX)
+            embs = self.embedder.get_embeddings_batch(
+                texts[:k], batch_size=min(8, k))
+            self._fit_reducer(embs)
+            red = self.reducer.transform(embs)
+            pre_reduced = {i: red[i] for i in range(k)}
+
         iterator = range(0, len(texts), self.config.batch_size)
         if self.config.show_progress:
             try:
@@ -221,7 +278,18 @@ class BatchProcessor:
             batch = texts[start: start + self.config.batch_size]
             ids = doc_ids[start: start + self.config.batch_size]
             metas = metadata[start: start + self.config.batch_size]
-            reduced = self._embed_reduce(batch)
+            idxs = list(range(start, start + len(batch)))
+            if all(i in pre_reduced for i in idxs):
+                reduced = np.stack([pre_reduced[i] for i in idxs])
+            elif any(i in pre_reduced for i in idxs):
+                # Batch straddles the pre-reduced prefix: embed the tail.
+                missing = [i for i in idxs if i not in pre_reduced]
+                tail = self._embed_reduce([texts[i] for i in missing])
+                rows = dict(zip(missing, tail))
+                reduced = np.stack([
+                    pre_reduced.get(i, rows.get(i)) for i in idxs])
+            else:
+                reduced = self._embed_reduce(batch)
             quantized = np.stack([
                 prepare_embedding_for_fhe(r, self.scale)[0] for r in reduced])
             # seed=None -> fresh OS entropy per encryption.  Deriving the

@@ -13,12 +13,13 @@ TPU primitive.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .cipher import Ciphertext, centered_residues
 from .context import CryptoContext
 from .modmath import (add_mod, barrett_reduce, mont_mul, neg_mod, sub_mod,
                       to_mont)
-from .ntt import ntt_fwd, ntt_inv
+from .ntt import build_plan, ntt_fwd, ntt_inv
 
 
 def _check(a: Ciphertext, b: Ciphertext):
@@ -108,6 +109,26 @@ def _flatten_batch(x):
     return x.reshape((-1,) + x.shape[-2:]), lead
 
 
+def _digit_plan(ctx: CryptoContext, l: int, j: int):
+    """NTT plan over the extended chain MINUS limb j (cached per (l, j)).
+
+    hybrid_keyswitch_apply's full-limb digit j only needs forward
+    transforms at the extended limbs other than j (limb j's transform is
+    the input slice); this plan carries exactly those primes, in chain
+    order, special prime last.
+    """
+    key = ("hybrid_digit_plan", l, j)
+    plan = ctx.cache.get(key)
+    if plan is None:
+        import jax
+        ext = ctx.hybrid(l).plan.primes
+        with jax.ensure_compile_time_eval():
+            plan = build_plan(ctx.n, tuple(
+                p for i, p in enumerate(ext) if i != j))
+        ctx.cache[key] = plan
+    return plan
+
+
 def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     """Accumulate sum_j digit_j(c) * ksk[j] -> (d0, d1) NTT-domain polys.
 
@@ -179,11 +200,23 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     n = ctx.n
     c_coeff = ntt_inv(ctx.plan, c_ntt)                # (B, l, N)
     # All digit math runs with the digit axis FOLDED INTO the batch axis
-    # — (B*n_dig, l+1, N), rank 3 — see _flatten_batch for why.
+    # — rank 3 — see _flatten_batch for why.
     if d_per == 1:
-        # Full-limb CRT digits, broadcast-reduced to the extended chain.
-        d_flat = c_coeff.reshape((-1, 1, n))          # (B*l, 1, N)
-        d_res = barrett_reduce(d_flat, pe, ht.mu)     # (B*l, l+1, N)
+        # Full-limb CRT digits.  Digit j IS limb j of c, so its forward
+        # NTT at extended limb j is exactly the INPUT slice
+        # c_ntt[..., j, :] (the limb-j twiddles would reproduce it
+        # bit-exactly); only the other l extended limbs need transforms
+        # — l fwd limb-transforms per digit instead of l+1.
+        d_list = []
+        for j in range(l):
+            others = np.asarray([i for i in range(l + 1) if i != j])
+            d_j = c_coeff[..., j, :][..., None, :]    # (B, 1, N)
+            d_res = barrett_reduce(d_j, pe[others], ht.mu[others])
+            d_o = ntt_fwd(_digit_plan(ctx, l, j), d_res)   # (B, l, N)
+            d_list.append(jnp.concatenate(
+                [d_o[..., :j, :], c_ntt[..., j:j + 1, :], d_o[..., j:, :]],
+                axis=-2))
+        d_ntt = jnp.stack(d_list, axis=1)             # (B, l, l+1, N)
     else:
         assert d_per == 2, "only 16-bit sub-digits are supported"
         lo = c_coeff & jnp.uint32(0xFFFF)
@@ -193,8 +226,8 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
         # Digits < 2^16 < every prime: residues are the values themselves
         # (materialized per extended limb — the NTT twiddles differ).
         d_res = jnp.broadcast_to(d, (d.shape[0], l + 1, n))
-    d_ntt = ntt_fwd(ht.plan, d_res)                   # (B*n_dig, l+1, N)
-    d_ntt = d_ntt.reshape((-1, n_dig) + d_ntt.shape[-2:])
+        d_ntt = ntt_fwd(ht.plan, d_res)               # (B*n_dig, l+1, N)
+        d_ntt = d_ntt.reshape((-1, n_dig) + d_ntt.shape[-2:])
     acc0 = acc1 = None
     for j in range(n_dig):
         t0 = mont_mul(d_ntt[:, j], ksk[j, 0], pe, pinve)

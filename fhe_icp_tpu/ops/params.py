@@ -46,6 +46,23 @@ T_MODULUS = pr.ntt_primes(1, bits=30)[0]
 T_COMPACT = 8519681
 assert T_COMPACT == 130 * 65536 + 1
 
+# Slot-rotation plaintext modulus: the smallest prime ≡ 1 (mod 2^16)
+# above 2^21.75.  MEASURED parameter floor for the slot-packed
+# rotate-and-sum dot at N=4096 (benchmarks config 8): with T_COMPACT the
+# post-relinearization budget is 4 bits while the d=128 prefix
+# rotate-and-sum chain consumes ~4-5 (fan-in noise of summing 128 slot
+# products — noise budgets measured 4 -> 3 -> 2 -> 2 -> 1 -> 1 -> 0 bits
+# across the 7 rotations, wrapping at the last), so the dot is
+# UNDECRYPTABLE at the default preset no matter how fine the rotation-key
+# digits are.  Shrinking t by 1.24 bits buys 2.48 bits of product-noise
+# budget (the dominant ct x ct term scales with t^2): measured final
+# budget +2 bits, exact decode.  Decode range t/2 = 1.80e6 keeps 1.78x
+# headroom over the scale-1000 contract bound (~1.01e6).  Coefficient
+# packing remains the production encoding (faster AND roomier); this
+# preset exists so the SIMD/rotation surface is usable at N=4096.
+T_GALOIS = 3604481
+assert T_GALOIS == 55 * 65536 + 1
+
 # Depth-oriented plaintext modulus: the Fermat prime 2^16 + 1.  BGV's
 # per-level noise floor after a modulus switch is ~t * sqrt(N); a ct x ct
 # product squares it, so each multiplication consumes ~2*log2(t) + log2(N)
@@ -135,6 +152,13 @@ PRESETS = {
     # 3-limb variant.
     "pairwise-4096": CryptoParams("pairwise-4096", n=4096, n_limbs=2,
                                   t=T_COMPACT),
+    # Slot-packed Galois rotate-and-sum at N=4096: same 128-bit-secure
+    # 2-limb ring as the default, with the plaintext modulus shrunk to
+    # the measured feasibility floor for the d=128 prefix chain (see
+    # T_GALOIS).  Use when encrypted dots must ride SIMD slots at the
+    # compact ring; the default preset's coefficient packing is faster.
+    "galois-4096": CryptoParams("galois-4096", n=4096, n_limbs=2,
+                                t=T_GALOIS),
     # ct x ct multiplication + relinearization headroom.
     "mult-8192": CryptoParams("mult-8192", n=8192, n_limbs=6),
     # Large-ring configuration (BASELINE.json config 4).

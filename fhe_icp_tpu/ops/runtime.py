@@ -340,13 +340,18 @@ class FheRuntime:
         return self._decrypt_dot(self._require_keys().sk, ct, d)
 
     # -- Galois rotations / SIMD slots (ops/galois.py) ----------------------
-    def rotation_keys(self, seed: Optional[int] = None, levels=None):
-        """Generate (and cache) rotation + row-flip Galois keys."""
+    def rotation_keys(self, seed: Optional[int] = None, levels=None,
+                      digit_bits: int = 16):
+        """Generate (and cache) rotation + row-flip Galois keys.
+
+        digit_bits=16 (default) gives fine-digit keys — required for the
+        rotate-and-sum chain to stay decryptable at compact presets;
+        digit_bits=0 halves keygen/apply cost for roomy presets."""
         from . import galois
         if getattr(self, "_gkeys", None) is None:
             self._gkeys = galois.rotation_keygen(
                 self.ctx, self._require_keys().sk, _prng_key(seed),
-                levels=levels)
+                levels=levels, digit_bits=digit_bits)
         return self._gkeys
 
     def _gkeys_for_level(self, level: int):
@@ -379,9 +384,14 @@ class FheRuntime:
         return galois.rotate_slots(self.ctx, self._gkeys_for_level(ct.level),
                                    ct, k)
 
-    def dot_ct_ct_slots(self, ct_a, ct_b):
-        """Fully encrypted slotwise inner product (rotate-and-sum)."""
+    def dot_ct_ct_slots(self, ct_a, ct_b, d: int | None = None):
+        """Fully encrypted slotwise inner product (rotate-and-sum).
+
+        Pass a power-of-two `d` when the operands live in slots 0..d-1
+        of row 0: only log2(d) prefix rotations run and the score sits
+        in slot [0, 0] — the variant that stays decryptable at the
+        compact production preset (ops/galois.dot_ct_ct_slots)."""
         from . import galois
         return galois.dot_ct_ct_slots(self.ctx, self._require_keys().rlk.keys,
                                       self._gkeys_for_level(ct_a.level),
-                                      ct_a, ct_b)
+                                      ct_a, ct_b, d=d)

@@ -118,7 +118,12 @@ def topk_hierarchical(flat, k: int, seg: int = 4096):
             [flat, jnp.full((pad,), jnp.iinfo(flat.dtype).min, flat.dtype)])
     kk = min(k, seg)
     v, i = jax.lax.top_k(fp.reshape(s, seg), kk)       # (s, kk) batched
-    gi = (i + (jnp.arange(s) * seg)[:, None]).reshape(-1)
+    # Clamp synthesized global indices in-range: a padding slot carries
+    # iinfo.min but an index past n; if the caller's data also contains
+    # iinfo.min entries (e.g. masked shards) a pad slot can win a tie in
+    # the merge, and the returned index must still be a valid position.
+    gi = jnp.minimum(
+        (i + (jnp.arange(s) * seg)[:, None]).reshape(-1), n - 1)
     fv, fpos = jax.lax.top_k(v.reshape(-1), k)
     return fv, gi[fpos]
 
@@ -175,7 +180,12 @@ def make_sharded_packed_search(ctx: CryptoContext, mesh, d: int,
         l_vals, l_idx = topk_hierarchical(ranked, k)   # per-shard top-k
         vals_all = jax.lax.all_gather(l_vals, DP_AXIS)         # (n_dp, k)
         idx_all = jax.lax.all_gather(l_idx + base, DP_AXIS)    # (n_dp, k)
-        m_vals, m_pos = jax.lax.top_k(vals_all.reshape(-1), k)
+        # The merge may return up to n_dp * k candidates: when top_k
+        # exceeds the per-shard score count (small store, many devices)
+        # the global answer spans shards, so the final k must not be
+        # capped at the per-shard k.
+        k_merge = min(top_k, n_dp * k)
+        m_vals, m_pos = jax.lax.top_k(vals_all.reshape(-1), k_merge)
         m_idx = idx_all.reshape(-1)[m_pos]
         return flat, m_vals, m_idx
 

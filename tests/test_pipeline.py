@@ -238,6 +238,46 @@ class TestBatchOperations:
             BatchConfig(max_memory_mb=10)
 
 
+# -- reducer persistence (reference ships pca_reducer_128.pkl:
+#    dimension_reduction.py:219-220) ----------------------------------------
+
+
+class TestReducerPersistence:
+    def _proc(self, base, **kw):
+        return BatchProcessor(
+            config=BatchConfig(batch_size=4, show_progress=False),
+            storage_dir=str(base / "docs"), key_dir=str(base / "keys"),
+            preset=PRESET, target_dim=16, embedder=HashingEmbedder(),
+            validate_model=False, **kw)
+
+    def test_pca_fit_persist_and_reload(self, tmp_path):
+        corpus = [f"document number {i} about topic {i % 5} with words "
+                  f"{'alpha beta' * (i % 3 + 1)}" for i in range(20)]
+        p1 = self._proc(tmp_path)
+        ids = p1.encrypt_documents(corpus)
+        assert len(ids) == 20
+        # Corpus >= target_dim -> PCA, persisted beside the store.
+        assert p1.reducer.method == "pca"
+        rp = tmp_path / "docs" / "reducer.npz"
+        assert rp.exists()
+
+        # A NEW process on the same store loads the SAME projection and
+        # can compare its fresh documents against the old ones.
+        p2 = self._proc(tmp_path)
+        assert p2.reducer.method == "pca"
+        np.testing.assert_array_equal(p2.reducer.components_,
+                                      p1.reducer.components_)
+        new_id = p2.encrypt_documents([corpus[0]], doc_ids=["again0"])[0]
+        sim = p2.compare_encrypted(ids[0], new_id)
+        assert abs(sim - 1.0) < 0.05      # identical text, same projection
+
+    def test_small_first_corpus_falls_back_to_random(self, tmp_path):
+        p = self._proc(tmp_path)
+        p.encrypt_documents(["one tiny document", "and a second one"])
+        assert p.reducer.method == "random"
+        assert (tmp_path / "docs" / "reducer.npz").exists()
+
+
 # -- CLI (reference test_suite.py:259-293) ---------------------------------
 
 
