@@ -151,3 +151,57 @@ def test_rotate_preserves_ciphertext_shape(rt, gkeys):
         ctx, jnp.asarray(np.stack([vals, vals])))), seed=78)
     out_b = galois.rotate_slots(ctx, gkeys, batched, 3)
     assert out_b.data.shape == batched.data.shape
+
+
+def test_prefix_dot_small_ring(rt, gkeys):
+    """sum_slots_prefix: slot [0,0] of the prefix dot equals the full
+    inner product when operands live in slots 0..d-1 of row 0."""
+    ctx = rt.ctx
+    d = 32
+    a = np.zeros((2, ctx.n // 2), np.int32)
+    b = np.zeros((2, ctx.n // 2), np.int32)
+    a[0, :d] = RNG.integers(-50, 51, size=d)
+    b[0, :d] = RNG.integers(-50, 51, size=d)
+    ct_a = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(a))),
+                      seed=61)
+    ct_b = rt.encrypt(np.asarray(galois.encode_slots(ctx, jnp.asarray(b))),
+                      seed=62)
+    out = galois.dot_ct_ct_slots(ctx, rt.keys.rlk.keys, gkeys, ct_a, ct_b,
+                                 d=d)
+    got = int(np.asarray(galois.decode_slots(ctx, rt.decrypt(out)))[0, 0])
+    want = _center_t(np.int64(np.sum(a.astype(np.int64) *
+                                     b.astype(np.int64))), ctx.t)
+    assert got == int(want)
+
+
+@pytest.mark.slow
+def test_galois_4096_production_floor():
+    """The measured N=4096 feasibility floor (params.T_GALOIS): the
+    d=128 prefix rotate-and-sum dot decrypts EXACTLY at galois-4096
+    with positive noise budget, using fine-digit rotation keys —
+    whereas pairwise-4096's T_COMPACT leaves only ~4 post-relin bits
+    and the same chain wraps (documented in params.py; benchmarks
+    config 8 measures both presets)."""
+    from fhe_icp_tpu.ops.noise import noise_budget_bits
+    from fhe_icp_tpu.ops.runtime import FheRuntime
+
+    rt4 = FheRuntime("galois-4096")
+    rt4.generate_keys(seed=0)
+    ctx = rt4.ctx
+    d = 128
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((2, d))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    q = np.round(v * 1000.0).astype(np.int32)          # scale-1000 contract
+    a = np.zeros((2, ctx.n // 2), np.int32)
+    b = np.zeros((2, ctx.n // 2), np.int32)
+    a[0, :d], b[0, :d] = q[0], q[1]
+    sa = rt4.encrypt_slots(a, seed=1)
+    sb = rt4.encrypt_slots(b, seed=2)
+    rt4.rotation_keys(seed=3)                          # fine 16-bit digits
+    out = rt4.dot_ct_ct_slots(sa, sb, d=d)
+    got = int(np.asarray(rt4.decrypt_slots(out))[0, 0])
+    want = int(_center_t(np.int64(q[0].astype(np.int64)
+                                  @ q[1].astype(np.int64)), ctx.t))
+    assert got == want
+    assert int(noise_budget_bits(ctx, rt4.keys.sk, out, max_coeffs=32)) >= 1
