@@ -144,6 +144,11 @@ PRESETS = {
     # of one multiplication (2 limbs / 2^62 does not).  NOT secure.
     "test-512-mult": CryptoParams("test-512-mult", n=512, n_limbs=3,
                                   allow_insecure=True),
+    # Test-only depth-2 chain (the polynomial-kernel family needs two
+    # multiplications + rotations: 5 limbs measured minimum at t~2^30).
+    # NOT secure.
+    "test-512-poly": CryptoParams("test-512-poly", n=512, n_limbs=5,
+                                  allow_insecure=True),
     # Default for the encrypted-similarity pipeline.  2 limbs + the
     # special prime: log(Q*P) = 93 <= 109 keeps 128-bit security, and
     # hybrid keyswitching + the compact plaintext modulus make ct x ct

@@ -90,3 +90,91 @@ def test_save_load_roundtrip(tmp_path, model, rt):
     assert np.allclose(loaded.predict_clear(x), model.predict_clear(x))
     assert np.allclose(np.asarray(loaded.predict_encrypted(x)),
                        np.asarray(model.predict_encrypted(x)))
+
+
+# -- polynomial-kernel family (models/poly.py): the reference's
+#    similarity_alternatives.py polynomial metric, but evaluated FULLY
+#    under encryption (depth-2 ct x ct) -----------------------------------
+
+
+class TestPolynomialFamily:
+    @pytest.fixture(scope="class")
+    def poly(self):
+        from fhe_icp_tpu.models.poly import FHEPolynomialSimilarity
+        rt5 = FheRuntime("test-512-poly")
+        rt5.generate_keys(seed=0)
+        m = FHEPolynomialSimilarity(input_dim=64, preset="test-512-poly",
+                                    scale=90)
+        m.compile(runtime=rt5)
+        return m
+
+    def test_encrypted_exactly_equals_quantized_clear(self, poly):
+        rng = np.random.default_rng(7)
+        for i in range(3):
+            a, b = rng.standard_normal(64), rng.standard_normal(64)
+            assert poly.predict_encrypted(a, b, seed=10 + i) == \
+                poly.predict_quantized_clear(a, b)
+
+    def test_probe_identities(self, poly):
+        """identical -> 1, opposite -> 0, orthogonal -> 0.25 (reference
+        test_polynomial_similarity.py probe semantics for
+        ((1+cos)/2)^2)."""
+        rng = np.random.default_rng(8)
+        a = rng.standard_normal(64)
+        assert abs(poly.predict_encrypted(a, a, seed=20) - 1.0) < 0.02
+        assert abs(poly.predict_encrypted(a, -a, seed=21) - 0.0) < 0.02
+        o = rng.standard_normal(64)
+        o -= (o @ a) / (a @ a) * a                     # orthogonalize
+        assert abs(poly.predict_encrypted(a, o, seed=22) - 0.25) < 0.03
+
+    def test_tracks_clear_path(self, poly):
+        rng = np.random.default_rng(9)
+        for i in range(3):
+            a, b = rng.standard_normal(64), rng.standard_normal(64)
+            assert abs(poly.predict_encrypted(a, b, seed=30 + i)
+                       - poly.predict_clear(a, b)) < 0.03
+
+    def test_compile_rejections(self):
+        from fhe_icp_tpu.models.poly import FHEPolynomialSimilarity
+        with pytest.raises(ValueError, match="degree=2"):
+            FHEPolynomialSimilarity(degree=3)
+        with pytest.raises(ValueError, match="power of two"):
+            FHEPolynomialSimilarity(input_dim=100)
+        m = FHEPolynomialSimilarity(input_dim=64, preset="test-512-mult",
+                                    scale=90)
+        with pytest.raises(ValueError, match="needs >= 5"):
+            rt3 = FheRuntime("test-512-mult")
+            rt3.generate_keys(seed=0)
+            m.compile(runtime=rt3)
+        big = FHEPolynomialSimilarity(input_dim=64, preset="test-512-poly",
+                                      scale=5000)
+        with pytest.raises(ValueError, match="exceeds t/2"):
+            rt5 = FheRuntime("test-512-poly")
+            rt5.generate_keys(seed=0)
+            big.compile(runtime=rt5)
+
+    def test_save_load_roundtrip(self, poly, tmp_path):
+        from fhe_icp_tpu.models.poly import FHEPolynomialSimilarity
+        poly.save(tmp_path / "poly")
+        m2 = FHEPolynomialSimilarity.load(tmp_path / "poly",
+                                          runtime=poly.runtime)
+        assert (m2.input_dim, m2.scale, m2.preset) == \
+            (poly.input_dim, poly.scale, poly.preset)
+        rng = np.random.default_rng(11)
+        a, b = rng.standard_normal(64), rng.standard_normal(64)
+        assert m2.predict_quantized_clear(a, b) == \
+            poly.predict_quantized_clear(a, b)
+
+
+@pytest.mark.slow
+def test_polynomial_family_production_preset():
+    """Full-dim (128) polynomial kernel at mult-8192: encrypted result
+    EXACTLY equals the integer simulation, and tracks the clear kernel."""
+    from fhe_icp_tpu.models.poly import FHEPolynomialSimilarity
+    m = FHEPolynomialSimilarity(input_dim=128, preset="mult-8192", scale=90)
+    m.compile()
+    rng = np.random.default_rng(12)
+    a, b = rng.standard_normal(128), rng.standard_normal(128)
+    enc = m.predict_encrypted(a, b, seed=40)
+    assert enc == m.predict_quantized_clear(a, b)
+    assert abs(enc - m.predict_clear(a, b)) < 0.03
