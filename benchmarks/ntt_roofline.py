@@ -1,0 +1,149 @@
+"""Pass-by-pass HBM roofline accounting for the production NTT.
+
+Round-4 verdict weak #3: the NTT sits at 12-19% of the single-pass
+bandwidth roofline, with the hand-written Pallas kernel parked (it TIES
+the XLA path — Mosaic's lowering of the in-VMEM transpose + sublane
+butterflies costs exactly what the XLA path's HBM passes cost).  This
+tool settles whether that gap is a kernel deficiency or the structural
+cost of a multi-pass algorithm, by MEASURING:
+
+1. the per-pass cost at the benchmark size — a chained sequence of K
+   synthetic elementwise passes over the same array (shoup_mul by a
+   constant table, the NTT's exact inner operation), K = 2 vs 8, slope
+   = one full HBM round trip at this size;
+2. the production radix-4 path (1 twist + ceil(log2 N / 2) merged
+   butterfly passes = 7 logical passes at N=4096) against
+   `passes x per_pass` — if the measured transform sits near that
+   product, the implementation is AT its algorithmic floor and the
+   single-pass roofline is unreachable without a fused kernel that
+   beats Mosaic's current lowering (measured: it doesn't);
+3. a VMEM chunk-size sweep (the _CHUNK_BYTES cliff): XLA keeps ALL
+   butterfly stages VMEM-resident when a chunk is small enough, which
+   collapses the multi-pass model to ~single-pass for that chunk — the
+   sweep finds the best operating point on the real chip;
+4. the Pallas kernel on the same batch, for the comparison row.
+
+Writes benchmarks/ntt_roofline.json.  Run ON TPU: python benchmarks/ntt_roofline.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fhe_icp_tpu.ops import ntt as ntt_mod
+    from fhe_icp_tpu.ops.context import CryptoContext
+    from fhe_icp_tpu.ops.modmath import shoup_mul
+    from fhe_icp_tpu.ops.ntt import ntt_fwd, ntt_inv
+    from fhe_icp_tpu.ops.params import get_params
+    from fhe_icp_tpu.utils.profiling import hbm_spec_gbs, measure_ondevice_loop
+
+    ctx = CryptoContext(get_params("pairwise-4096"))
+    n, l, batch = ctx.n, ctx.n_limbs, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(
+        0, np.asarray(ctx.primes[:l])[:, None],
+        size=(batch, l, n)).astype(np.uint32))
+    bytes_rw = 2 * batch * l * n * 4                  # one read + one write
+    spec = hbm_spec_gbs() or 819.0
+    report = {"n": n, "limbs": l, "batch": batch,
+              "limb_transforms": batch * l,
+              "hbm_spec_gbs": spec,
+              "single_pass_ideal_ms": round(bytes_rw / (spec * 1e9) * 1e3, 4)}
+
+    # -- 1. measured per-pass cost (chained synthetic passes) ---------------
+    tw = ctx.plan.psi[:l]
+    sh = ctx.plan.psi_sh[:l]
+    p = ctx.plan.p[:l]
+
+    def chain(k):
+        def step(tok):
+            y = x ^ (tok & jnp.uint32(1))
+            for _ in range(k):
+                y = shoup_mul(y, tw, sh, p)
+                # a data-dependent roll defeats pass fusion: XLA cannot
+                # merge across the cross-lane shift
+                y = jnp.roll(y, 1, axis=-1)
+            return (y.sum() & jnp.uint32(1))
+        return step
+
+    m2 = measure_ondevice_loop(chain(2), k_short=4, k_long=24)
+    m8 = measure_ondevice_loop(chain(8), k_short=4, k_long=24)
+    per_pass_ms = (m8["ms"] - m2["ms"]) / 6
+    report["per_pass_ms_measured"] = round(per_pass_ms, 4)
+    report["per_pass_gbs"] = round(bytes_rw / (per_pass_ms * 1e-3) / 1e9, 1)
+
+    # -- 2. production transform vs the pass model --------------------------
+    fwd = jax.jit(lambda a: ntt_fwd(ctx.plan, a))
+    inv = jax.jit(lambda a: ntt_inv(ctx.plan, a))
+    assert (np.asarray(inv(fwd(x))) == np.asarray(x)).all()
+    mf = measure_ondevice_loop(
+        lambda tok: (fwd(x ^ (tok & jnp.uint32(1))).sum() & jnp.uint32(1)),
+        k_short=8, k_long=48)
+    mi = measure_ondevice_loop(
+        lambda tok: (inv(x ^ (tok & jnp.uint32(1))).sum() & jnp.uint32(1)),
+        k_short=8, k_long=48)
+    log_n = n.bit_length() - 1
+    passes = 1 + -(-log_n // 2)                       # twist + radix-4 stages
+    report["logical_passes"] = passes
+    report["pass_model_ms"] = round(passes * per_pass_ms, 4)
+    report["fwd_ms_measured"] = round(mf["ms"], 4)
+    report["inv_ms_measured"] = round(mi["ms"], 4)
+    report["fwd_vs_pass_model"] = round(mf["ms"] / (passes * per_pass_ms), 2)
+    report["fwd_gbs_roundtrip_min"] = round(
+        bytes_rw / (mf["ms"] * 1e-3) / 1e9, 1)
+
+    # -- 3. chunk-size sweep ------------------------------------------------
+    sweep = []
+    orig = ntt_mod._CHUNK_BYTES
+    try:
+        for mb in (2, 4, 8, 12, 16, 24, 32):
+            ntt_mod._CHUNK_BYTES = mb << 20
+            f = jax.jit(lambda a: ntt_fwd(ctx.plan, a))
+            m = measure_ondevice_loop(
+                lambda tok: (f(x ^ (tok & jnp.uint32(1))).sum()
+                             & jnp.uint32(1)),
+                k_short=8, k_long=48)
+            sweep.append({"chunk_mb": mb, "fwd_ms": round(m["ms"], 4),
+                          "gbs": round(bytes_rw / (m["ms"] * 1e-3) / 1e9, 1)})
+    finally:
+        ntt_mod._CHUNK_BYTES = orig
+    report["chunk_sweep"] = sweep
+    best = min(sweep, key=lambda r: r["fwd_ms"])
+    report["best_chunk"] = best
+
+    # -- 4. the Pallas kernel, same batch -----------------------------------
+    try:
+        from fhe_icp_tpu.ops.ntt_pallas import ntt_fwd_pallas
+        fp = jax.jit(lambda a: ntt_fwd_pallas(ctx.plan, a))
+        assert (np.asarray(inv(fp(x))) == np.asarray(x)).all()
+        mp = measure_ondevice_loop(
+            lambda tok: (fp(x ^ (tok & jnp.uint32(1))).sum()
+                         & jnp.uint32(1)),
+            k_short=8, k_long=48)
+        report["pallas_fwd_ms"] = round(mp["ms"], 4)
+        report["pallas_vs_xla"] = round(mp["ms"] / mf["ms"], 2)
+    except Exception as e:
+        report["pallas_fwd_ms"] = None
+        report["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    report["verdict"] = (
+        "xla path at its multi-pass floor" if report["fwd_vs_pass_model"]
+        <= 1.5 else "xla path leaves headroom vs its own pass model")
+    out = Path(__file__).parent / "ntt_roofline.json"
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

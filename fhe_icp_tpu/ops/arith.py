@@ -109,6 +109,14 @@ def _flatten_batch(x):
     return x.reshape((-1,) + x.shape[-2:]), lead
 
 
+# Below this many switched polys per call the keyswitch is launch-
+# latency-bound (every stage's operand fits VMEM; each XLA fusion costs
+# ~20 us of launch overhead through the dispatch path), so the variants
+# with the FEWEST separate NTT calls win; at or above it the op is
+# HBM-bandwidth-bound and the transform-count-minimizing variants win.
+_REUSE_MIN_BATCH = 32
+
+
 def _digit_plan(ctx: CryptoContext, l: int, j: int):
     """NTT plan over the extended chain MINUS limb j (cached per (l, j)).
 
@@ -156,6 +164,19 @@ def gadget_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     return acc0, acc1
 
 
+def _single_prime_plan(ctx: CryptoContext, prime: int):
+    """Cached one-limb NTT plan (for extracting a single limb's
+    coefficient form without transforming the whole chain)."""
+    key = ("single_prime_plan", prime)
+    plan = ctx.cache.get(key)
+    if plan is None:
+        import jax
+        with jax.ensure_compile_time_eval():
+            plan = build_plan(ctx.n, (prime,))
+        ctx.cache[key] = plan
+    return plan
+
+
 def _div_special(ctx: CryptoContext, ht, x_ntt, l: int):
     """Exact divide-by-P: NTT-domain polys over Q_l*P -> over Q_l.
 
@@ -164,19 +185,38 @@ def _div_special(ctx: CryptoContext, ht, x_ntt, l: int):
     Because hybrid keys encrypt P*target, the division leaves the
     message term intact (no pt_corr change); the keyswitch noise
     shrinks by ~P.
+
+    Transform economy: only the SPECIAL limb leaves the NTT domain —
+    the delta correction is computed coefficient-wise from it (the
+    centering comparison is the one nonlinear step), transformed
+    forward over the l ciphertext limbs, and the subtract + multiply-
+    by-P^{-1} stay pointwise in the NTT domain (both commute with the
+    linear NTT — bit-identical results).  1 + l limb transforms per
+    poly instead of (l+1) + l.
     """
     x_ntt, lead = _flatten_batch(x_ntt)               # (B', l+1, N)
-    x = ntt_inv(ht.plan, x_ntt)
     sp, sp_pinv = ht.p[l, 0], ht.pinv[l, 0]
-    u = mont_mul(x[..., l, :], ht.t_inv_mont_sp[0, 0], sp, sp_pinv)
-    rest = x[..., :l, :]
     p, pinv = ctx.lp(l), ctx.lpinv(l)
-    w = barrett_reduce(u[..., None, :], p, ctx.mu_p[:l])
-    w = jnp.where(u[..., None, :] > ht.sp_half[0, 0],
-                  sub_mod(w, ht.sp_mod_pi, p), w)
-    delta = mont_mul(w, ctx.t_mont_p[:l], p, pinv)
-    out = mont_mul(sub_mod(rest, delta, p), ht.inv_sp_mont, p, pinv)
-    out = ntt_fwd(ctx.plan, out)
+    if x_ntt.shape[0] < _REUSE_MIN_BATCH:
+        # Launch-latency regime: one combined INTT + one fwd call.
+        x = ntt_inv(ht.plan, x_ntt)
+        u = mont_mul(x[..., l, :], ht.t_inv_mont_sp[0, 0], sp, sp_pinv)
+        rest = x[..., :l, :]
+        w = barrett_reduce(u[..., None, :], p, ctx.mu_p[:l])
+        w = jnp.where(u[..., None, :] > ht.sp_half[0, 0],
+                      sub_mod(w, ht.sp_mod_pi, p), w)
+        delta = mont_mul(w, ctx.t_mont_p[:l], p, pinv)
+        out = mont_mul(sub_mod(rest, delta, p), ht.inv_sp_mont, p, pinv)
+        out = ntt_fwd(ctx.plan, out)
+    else:
+        sp_plan = _single_prime_plan(ctx, int(ctx.params.special_prime))
+        x_sp = ntt_inv(sp_plan, x_ntt[..., l:, :])    # (B', 1, N) coeff
+        u = mont_mul(x_sp, ht.t_inv_mont_sp[0, 0], sp, sp_pinv)
+        w = barrett_reduce(u, p, ctx.mu_p[:l])        # (B', l, N)
+        w = jnp.where(u > ht.sp_half[0, 0], sub_mod(w, ht.sp_mod_pi, p), w)
+        delta = ntt_fwd(ctx.plan, mont_mul(w, ctx.t_mont_p[:l], p, pinv))
+        out = mont_mul(sub_mod(x_ntt[..., :l, :], delta, p),
+                       ht.inv_sp_mont, p, pinv)
     return out if lead is None else out.reshape(lead + out.shape[-2:])
 
 
@@ -201,12 +241,13 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
     c_coeff = ntt_inv(ctx.plan, c_ntt)                # (B, l, N)
     # All digit math runs with the digit axis FOLDED INTO the batch axis
     # — rank 3 — see _flatten_batch for why.
-    if d_per == 1:
-        # Full-limb CRT digits.  Digit j IS limb j of c, so its forward
-        # NTT at extended limb j is exactly the INPUT slice
-        # c_ntt[..., j, :] (the limb-j twiddles would reproduce it
-        # bit-exactly); only the other l extended limbs need transforms
-        # — l fwd limb-transforms per digit instead of l+1.
+    if d_per == 1 and c_ntt.shape[0] >= _REUSE_MIN_BATCH:
+        # Full-limb CRT digits, bandwidth-bound regime.  Digit j IS limb
+        # j of c, so its forward NTT at extended limb j is exactly the
+        # INPUT slice c_ntt[..., j, :] (the limb-j twiddles would
+        # reproduce it bit-exactly); only the other l extended limbs
+        # need transforms — l fwd limb-transforms per digit instead of
+        # l+1 (measured: 32x32 all-pairs relin 17.6 -> 13.1 ms).
         d_list = []
         for j in range(l):
             others = np.asarray([i for i in range(l + 1) if i != j])
@@ -217,6 +258,16 @@ def hybrid_keyswitch_apply(ctx: CryptoContext, ksk, c_ntt, l: int):
                 [d_o[..., :j, :], c_ntt[..., j:j + 1, :], d_o[..., j:, :]],
                 axis=-2))
         d_ntt = jnp.stack(d_list, axis=1)             # (B, l, l+1, N)
+    elif d_per == 1:
+        # Small batches are LAUNCH-LATENCY-bound, not bandwidth-bound
+        # (the whole working set fits VMEM): one combined NTT call over
+        # all digits beats l separate smaller calls even though it
+        # transforms l extra limbs (measured: single relinearized
+        # compare 1.24 ms with per-digit calls vs 0.73 combined).
+        d_flat = c_coeff.reshape((-1, 1, n))          # (B*l, 1, N)
+        d_res = barrett_reduce(d_flat, pe, ht.mu)     # (B*l, l+1, N)
+        d_ntt = ntt_fwd(ht.plan, d_res)
+        d_ntt = d_ntt.reshape((-1, n_dig) + d_ntt.shape[-2:])
     else:
         assert d_per == 2, "only 16-bit sub-digits are supported"
         lo = c_coeff & jnp.uint32(0xFFFF)
@@ -319,19 +370,24 @@ def mod_switch(ctx: CryptoContext, ct: Ciphertext) -> Ciphertext:
     lt = ctx.levels[l]
     lead = ct.data.shape[:-2]                         # (..., k) batch+poly
     flat = ct.data.reshape((-1,) + ct.data.shape[-2:])   # (B*k, l, N)
-    x = ntt_inv(ctx.plan, flat)
+    # Only the DROPPED limb leaves the NTT domain (same transform
+    # economy as arith._div_special): the delta correction is computed
+    # coefficient-wise from it, transformed forward over the remaining
+    # limbs, and the subtract + multiply-by-p_d^{-1} stay pointwise in
+    # the NTT domain — l transforms per poly instead of 2l - 1,
+    # bit-identical results.
     pd = ctx.p[l - 1, 0]
     pd_inv = ctx.p_neg_inv[l - 1, 0]
-    c_last = x[..., l - 1, :]
-    u = mont_mul(c_last, lt.t_inv_mont_pd[0, 0], pd, pd_inv)   # [c*t^{-1}]_{p_d}
-    rest = x[..., : l - 1, :]
+    pd_plan = _single_prime_plan(ctx, int(ctx.primes[l - 1]))
+    c_last = ntt_inv(pd_plan, flat[..., l - 1:, :])   # (B*k, 1, N) coeff
+    u = mont_mul(c_last, lt.t_inv_mont_pd[0, 0], pd, pd_inv)  # [c*t^{-1}]_{p_d}
     p, pinv = ctx.lp(l - 1), ctx.lpinv(l - 1)
-    w = barrett_reduce(u[..., None, :], p, ctx.mu_p[: l - 1])
-    w = jnp.where(u[..., None, :] > lt.pd_half[0, 0],
-                  sub_mod(w, lt.pd_mod_pi, p), w)
-    delta = mont_mul(w, ctx.t_mont_p[: l - 1], p, pinv)
-    out = mont_mul(sub_mod(rest, delta, p), lt.inv_pd_mont, p, pinv)
-    out = ntt_fwd(ctx.plan, out).reshape(lead + (l - 1, ctx.n))
+    w = barrett_reduce(u, p, ctx.mu_p[: l - 1])       # (B*k, l-1, N)
+    w = jnp.where(u > lt.pd_half[0, 0], sub_mod(w, lt.pd_mod_pi, p), w)
+    delta = ntt_fwd(ctx.plan, mont_mul(w, ctx.t_mont_p[: l - 1], p, pinv))
+    out = mont_mul(sub_mod(flat[..., : l - 1, :], delta, p),
+                   lt.inv_pd_mont, p, pinv)
+    out = out.reshape(lead + (l - 1, ctx.n))
     return Ciphertext(out, l - 1, True,
                       ct.pt_corr * ctx.primes[l - 1] % ctx.t)
 

@@ -140,15 +140,18 @@ def keyswitch_footprint(n: int, l: int, n_dig: int, batch: int = 1) -> Dict:
     """Cost model of one hybrid keyswitch: limb-transforms + minimum HBM.
 
     Per switched polynomial (ops/arith.hybrid_keyswitch_apply): one INTT
-    over l limbs, a forward NTT of n_dig digits over the l+1 extended
-    chain, the key-product accumulation, then divide-by-P = one extended
-    INTT of 2 polys and one forward NTT of 2 polys over l limbs.  The
-    returned dict lets a benchmark report its distance from the
-    transform-count bound (the op is NTT-dominated) and from the HBM
-    floor (each transform reads+writes its operand at least once).
+    over l limbs; forward digit NTTs — full-limb digits (n_dig == l)
+    reuse the input slice for their own limb, so l transforms per digit
+    (16-bit sub-digits need all l+1); then divide-by-P on the 2
+    accumulated polys = one single-limb special INTT + one l-limb delta
+    forward NTT each (the subtract/scale stay in the NTT domain —
+    arith._div_special).  The returned dict lets a benchmark report its
+    distance from the transform-count bound (the op is NTT-dominated)
+    and from the HBM floor (each transform reads+writes its operand at
+    least once).
     """
-    le = l + 1
-    lt = batch * (l + n_dig * le + 2 * le + 2 * l)
+    per_digit = l if n_dig == l else l + 1
+    lt = batch * (l + n_dig * per_digit + 2 * (1 + l))
     hbm = 4 * n * 2 * lt                   # u32 read+write per transform
     return {"limb_transforms": lt, "min_hbm_bytes": hbm}
 
