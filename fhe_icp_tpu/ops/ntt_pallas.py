@@ -31,10 +31,13 @@ multiply bound" reading: the JNP path was HBM-bound (~11 memory passes)
 while THIS kernel — despite touching HBM only twice — is bound by
 Mosaic's lowering of the in-VMEM transposes and small-stride sublane
 butterflies, and the two bottlenecks coincidentally tied.  ops/ntt.py
-now fuses stage pairs into radix-4 passes (half the HBM traffic) and
-remains the default; this kernel is kept as the validated bit-exact
-Pallas alternative and the starting point for future in-kernel fusion
-of pointwise ops into the transform.
+now fuses stage triples into radix-8 passes and remains the default;
+benchmarks/ntt_roofline.json (round 5) RETIRES this kernel with the
+full accounting: the XLA path measures ~1.2x of its pass-count x
+HBM-spec floor while this kernel, despite touching HBM once, measures
+~1.8x the XLA path — Mosaic's in-VMEM transpose + sublane butterfly
+lowering costs more than the passes it saves.  Kept as the validated
+bit-exact Pallas reference implementation only.
 """
 
 from __future__ import annotations
