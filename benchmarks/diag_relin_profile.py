@@ -122,6 +122,71 @@ def main() -> None:
         d0, d1 = arith.hybrid_keyswitch_apply(ctx, rk, c2, lv)
         return (d0[0, 0, 0, 0] & 1).astype(jnp.uint32)
 
+    # Finer stages of the round-5 keyswitch (reuse digit path + NTT-
+    # domain divide-by-P), to localize the non-transform overhead.
+    import numpy as _np
+    from fhe_icp_tpu.ops.arith import (_digit_plan, _div_special,
+                                       _flatten_batch)
+
+    def _digits(c2_flat):
+        """(B, l, N) NTT-domain -> (B, n_dig, l+1, N) digit operands."""
+        ht2 = ctx.hybrid(lv)
+        c_coeff = ntt_inv(ctx.plan, c2_flat)
+        d_list = []
+        for j in range(lv):
+            others = _np.asarray([i for i in range(lv + 1) if i != j])
+            d_j = c_coeff[..., j, :][..., None, :]
+            d_res = barrett_reduce(d_j, ht2.p[others], ht2.mu[others])
+            d_o = ntt_fwd(_digit_plan(ctx, lv, j), d_res)
+            d_list.append(jnp.concatenate(
+                [d_o[..., :j, :], c2_flat[..., j:j + 1, :],
+                 d_o[..., j:, :]], axis=-2))
+        return jnp.stack(d_list, axis=1)
+
+    def digits_new(f, r, tok):
+        c2 = prod0[..., 2, :, :] ^ (tok & jnp.uint32(1))
+        c2f, _ = _flatten_batch(c2)
+        d = _digits(c2f)
+        return (d[0, 0, 0, 0] & 1).astype(jnp.uint32)
+
+    d_ntt0 = jax.jit(lambda c2: _digits(_flatten_batch(c2)[0]))(
+        prod0[..., 2, :, :])
+
+    def accumulate_only(f, r, tok):
+        ht2 = ctx.hybrid(lv)
+        pe, pinve = ht2.p, ht2.pinv
+        d = d_ntt0 ^ (tok & jnp.uint32(1))
+        acc0 = acc1 = None
+        for j in range(rk.shape[0]):
+            t0_ = mont_mul(d[:, j], rk[j, 0], pe, pinve)
+            t1_ = mont_mul(d[:, j], rk[j, 1], pe, pinve)
+            acc0 = t0_ if acc0 is None else add_mod(acc0, t0_, pe)
+            acc1 = t1_ if acc1 is None else add_mod(acc1, t1_, pe)
+        return (acc0[0, 0, 0] & 1).astype(jnp.uint32)
+
+    acc_stack0 = None
+
+    def _make_acc():
+        ht2 = ctx.hybrid(lv)
+        pe, pinve = ht2.p, ht2.pinv
+
+        def f_(d):
+            acc0 = acc1 = None
+            for j in range(rk.shape[0]):
+                t0_ = mont_mul(d[:, j], rk[j, 0], pe, pinve)
+                t1_ = mont_mul(d[:, j], rk[j, 1], pe, pinve)
+                acc0 = t0_ if acc0 is None else add_mod(acc0, t0_, pe)
+                acc1 = t1_ if acc1 is None else add_mod(acc1, t1_, pe)
+            return jnp.stack([acc0, acc1], axis=-3)
+        return jax.jit(f_)
+
+    acc_stack0 = _make_acc()(d_ntt0)
+
+    def div_only(f, r, tok):
+        x = acc_stack0 ^ (tok & jnp.uint32(1))
+        out = _div_special(ctx, ctx.hybrid(lv), x, lv)
+        return (out[0, 0, 0, 0] & 1).astype(jnp.uint32)
+
     def relin_only(f, r, tok):
         prod = Ciphertext(mix(prod0, tok), lv, True)
         out = arith.relinearize(ctx, ks.rlk.keys, prod)
@@ -133,6 +198,9 @@ def main() -> None:
         ("mul_deg2_decode", mul_deg2_decode),
         ("intt_c2", intt_c2),
         ("digits_broadcast_ntt", digits_ntt),
+        ("digits_reuse_ntt", digits_new),
+        ("accumulate_only", accumulate_only),
+        ("div_special_only", div_only),
         ("hybrid_keyswitch_full", keyswitch_only),
         ("relin_full", relin_only),
     ]

@@ -214,9 +214,12 @@ def _div_special(ctx: CryptoContext, ht, x_ntt, l: int):
         u = mont_mul(x_sp, ht.t_inv_mont_sp[0, 0], sp, sp_pinv)
         w = barrett_reduce(u, p, ctx.mu_p[:l])        # (B', l, N)
         w = jnp.where(u > ht.sp_half[0, 0], sub_mod(w, ht.sp_mod_pi, p), w)
-        delta = ntt_fwd(ctx.plan, mont_mul(w, ctx.t_mont_p[:l], p, pinv))
-        out = mont_mul(sub_mod(x_ntt[..., :l, :], delta, p),
-                       ht.inv_sp_mont, p, pinv)
+        # (x - t*w) * P^{-1} distributed: x*P^{-1} - w*(t*P^{-1}) — one
+        # combined constant per term, no materialized delta (exact: the
+        # Montgomery scalings distribute over sub_mod).
+        w_ntt = ntt_fwd(ctx.plan, w)
+        out = sub_mod(mont_mul(x_ntt[..., :l, :], ht.inv_sp_mont, p, pinv),
+                      mont_mul(w_ntt, ht.t_inv_sp_mont, p, pinv), p)
     return out if lead is None else out.reshape(lead + out.shape[-2:])
 
 

@@ -68,6 +68,7 @@ class HybridTables:
     sp_half: jnp.ndarray         # (1,1) P // 2
     sp_mod_pi: jnp.ndarray       # (l,1) P mod p_i
     inv_sp_mont: jnp.ndarray     # (l,1) [P^{-1}]_{p_i}, mont-of-p_i
+    t_inv_sp_mont: jnp.ndarray   # (l,1) [t*P^{-1}]_{p_i}, mont-of-p_i
 
 
 @dataclass(frozen=True)
@@ -193,6 +194,8 @@ class CryptoContext:
             sp_mod_pi=_col([sp % p for p in self.primes[:l]]),
             inv_sp_mont=_col([pow(sp, -1, p) * (1 << 32) % p
                               for p in self.primes[:l]]),
+            t_inv_sp_mont=_col([t * pow(sp, -1, p) % p * (1 << 32) % p
+                                for p in self.primes[:l]]),
         )
         return tables
 
