@@ -406,24 +406,11 @@ def rns_decode_centered(ctx: CryptoContext, x, l: int, pt_corr: int = 1):
                      jax.lax.bitcast_convert_type(m, jnp.int32))
 
 
-def _flatten_ct(ct: Ciphertext):
-    """Collapse multiple leading batch dims to one (XLA's TPU backend
-    runs elementwise fusions ~4-5x slower on rank>3 arrays — see
-    arith._flatten_batch); returns (flat_ct, lead_shape | None)."""
-    lead = ct.data.shape[:-3]
-    if len(lead) <= 1:
-        return ct, None
-    flat = ct.data.reshape((-1,) + ct.data.shape[-3:])
-    return Ciphertext(flat, ct.level, ct.is_ntt, ct.pt_corr), lead
-
-
 def decrypt(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext):
     """Decrypt to the centered int32 message poly (..., N)."""
-    ct, lead = _flatten_ct(ct)
     x_ntt = _phase(ctx, sk, ct)
     x = ntt_inv(ctx.plan, x_ntt)
-    out = rns_decode_centered(ctx, x, ct.level, ct.pt_corr)
-    return out if lead is None else out.reshape(lead + out.shape[-1:])
+    return rns_decode_centered(ctx, x, ct.level, ct.pt_corr)
 
 
 # ---------------------------------------------------------------------------
@@ -482,12 +469,17 @@ def tree_sum_mod(x, p):
 
 
 def decrypt_coeff(ctx: CryptoContext, sk: SecretKey, ct: Ciphertext, j: int):
-    """Decrypt ONLY coefficient j -> (...,) int32, skipping the full INTT."""
-    ct, lead = _flatten_ct(ct)
+    """Decrypt ONLY coefficient j -> (...,) int32, skipping the full INTT.
+
+    NOTE: leading batch dims are deliberately NOT flattened here.  The
+    keyswitch-style rank>3 penalty does not apply to this reduction-
+    shaped chain, and a forced reshape of the (often broadcast-built)
+    phase operand materializes a copy that breaks the decode fusion —
+    measured 8x slower on the 32x32 all-pairs degree-2 decode.
+    """
     l = ct.level
     p, pinv = ctx.lp(l), ctx.lpinv(l)
     x = _phase(ctx, sk, ct)                         # (..., l, N) NTT domain
     terms = mont_mul(x, coeff_weights(ctx, j, l), p, pinv)
     res = tree_sum_mod(terms, p)                    # (..., l, 1)
-    out = rns_decode_centered(ctx, res, l, ct.pt_corr)[..., 0]
-    return out if lead is None else out.reshape(lead)
+    return rns_decode_centered(ctx, res, l, ct.pt_corr)[..., 0]
