@@ -108,6 +108,7 @@ def config1_single_compare():
     m2 = measure_ondevice_loop(step_deg2, k_short=64, k_long=512)
     emit({"config": 1, "metric": "single_ct_ct_compare_ms",
           "value": round(m["ms"], 3), "unit": "ms",
+          "spread_pct": round(100 * m.get("spread", 0.0), 1),
           "ops_per_s": round(1.0 / m["s"], 1),
           # The CLI compare path decrypts immediately and skips relin
           # (ops/dot.dot_ct_ct_deg2) — bit-identical score.
@@ -170,6 +171,7 @@ def config2_allpairs_32():
                              ks.rlk.keys[ctx.n_limbs].shape[0], batch=b * b)
     emit({"config": 2, "metric": "allpairs_32_matrix_ms",
           "value": round(m["ms"], 2), "unit": "ms",
+          "spread_pct": round(100 * m.get("spread", 0.0), 1),
           "pairs_per_s": round(b * b / m["s"], 1),
           # Same matrix via degree-2 immediate decrypt (no relin) — the
           # path a consumer that decrypts right away actually takes.
@@ -217,6 +219,7 @@ def config3_search_1024():
     m = measure_ondevice_loop(step)
     emit({"config": 3, "metric": "search_1024_docs_ms",
           "value": round(m["ms"], 3), "unit": "ms",
+          "spread_pct": round(100 * m.get("spread", 0.0), 1),
           "dots_per_s": round(b / m["s"], 1)})
 
 
@@ -256,7 +259,8 @@ def config4_large_ring():
 
     m = measure_ondevice_loop(step, k_short=2, k_long=10)
     emit({"config": 4, "metric": "ring16384_mul_relin_modswitch_ms",
-          "value": round(m["ms"], 2), "unit": "ms"})
+          "value": round(m["ms"], 2), "unit": "ms",
+          "spread_pct": round(100 * m.get("spread", 0.0), 1)})
 
 
 def config5_sharded_search():
@@ -318,14 +322,15 @@ def config5_sharded_search():
         got = np.asarray(scores, np.int64)[:b]
         assert (got == want).all(), "config5 mismatch"
         m = measure_ondevice_loop(step, k_short=4, k_long=20)
-        return b / m["s"], m["ms"]
+        return b / m["s"], m["ms"], m.get("spread", 0.0)
 
     mesh_n = make_mesh(n_dev, shape=(n_dev, 1))
     dig_n = jax.device_put(doc_op.digits, packed_operand_sharding(mesh_n))
-    rate_n, ms_n = timed_rate(mesh_n, dig_n)
+    rate_n, ms_n, sp_n = timed_rate(mesh_n, dig_n)
 
     rec = {"config": 5, "metric": "sharded_search_dots_per_s",
            "value": round(rate_n, 1), "unit": "ops/s",
+           "spread_pct": round(100 * sp_n, 1),
            "devices": n_dev, "docs": b, "ms_per_query": round(ms_n, 3)}
     if n_dev > 1:
         # Weak-scaling reference: 1/n of the store on a 1-device mesh.
@@ -396,6 +401,7 @@ def config6_ntt_throughput():
             m = measure_ondevice_loop(step, k_short=4, k_long=24)
             emit({"config": 6, "metric": f"ntt_{name}_{preset}",
                   "value": round(m["ms"], 3), "unit": "ms",
+                  "spread_pct": round(100 * m.get("spread", 0.0), 1),
                   "batch_limb_transforms": batch * l,
                   "limb_mults_per_s": round(mults / m["s"], 0),
                   "gb_per_s_roundtrip_min": round(gbytes / m["s"], 1)})

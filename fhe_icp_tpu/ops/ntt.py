@@ -127,6 +127,14 @@ def build_plan(n: int, prime_list: Tuple[int, ...]) -> NttPlan:
     )
 
 
+# Radix-8 merging (3 butterfly levels per pass) is measured FASTER at
+# N<=4096 on TPU (fwd 0.33 -> 0.25 ms, config 6) but SLOWER at N=16384
+# (~1.2 -> 2.1 ms): the 8-slice fused passes exceed the vector-register/
+# VMEM working-set budget at large rows, so big rings keep radix-4.
+# Both orderings are exact — results are bit-identical either way.
+_RADIX8_MAX_N = 4096
+
+
 def _limbs(plan: NttPlan, x) -> int:
     l = x.shape[-2]
     assert l <= plan.p.shape[0], "more limbs than plan primes"
@@ -152,7 +160,7 @@ def _cyclic_fwd(plan: NttPlan, x, l: int):
     p = plan.p[:l, :, None]
     log_n = plan.log_n
     s = 0
-    while s + 2 < log_n:
+    while s + 2 < log_n and n <= _RADIX8_MAX_N:
         m = n >> (s + 3)                      # third stage's half-length
         b = 1 << s
         x = x.reshape(lead + (b, 2, 2, 2, m))
@@ -227,7 +235,8 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
     n = plan.n
     p = plan.p[:l, :, None]
     s = plan.log_n - 1
-    rem = plan.log_n % 3
+    use_r8 = n <= _RADIX8_MAX_N
+    rem = plan.log_n % 3 if use_r8 else plan.log_n % 2
     if rem == 1:                              # radix-2 head
         m = n >> (s + 1)
         b = 1 << s
@@ -256,7 +265,7 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
             jnp.stack([sub_mod(y1a, z2a, p), sub_mod(y1b, z2b, p)], axis=-2),
         ], axis=-3)
         s -= 2
-    while s >= 2:
+    while s >= 2 and use_r8:
         # Stages (s fine, s-1 middle, s-2 coarse) in one pass.
         m = n >> (s + 1)
         b = 1 << (s - 2)
@@ -294,6 +303,26 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
                       axis=-3)
             for i in range(2)], axis=-4)
         s -= 3
+    while s >= 1:                             # radix-4 (big rings)
+        m = n >> (s + 1)
+        b = 1 << (s - 1)
+        x = x.reshape(lead + (b, 2, 2, m))
+        u1, v1 = x[..., 0, 0, :], x[..., 0, 1, :]
+        u2, v2 = x[..., 1, 0, :], x[..., 1, 1, :]
+        t1, h1 = plan.inv_tw[s][:l], plan.inv_sh[s][:l]
+        t2 = plan.inv_tw[s - 1][:l].reshape(l, 1, 2, m)
+        h2 = plan.inv_sh[s - 1][:l].reshape(l, 1, 2, m)
+        w1 = shoup_mul(v1, t1, h1, p)
+        w2 = shoup_mul(v2, t1, h1, p)
+        y1a, y1b = add_mod(u1, w1, p), sub_mod(u1, w1, p)
+        y2a, y2b = add_mod(u2, w2, p), sub_mod(u2, w2, p)
+        z2a = shoup_mul(y2a, t2[:, :, 0], h2[:, :, 0], p)
+        z2b = shoup_mul(y2b, t2[:, :, 1], h2[:, :, 1], p)
+        x = jnp.stack([
+            jnp.stack([add_mod(y1a, z2a, p), add_mod(y1b, z2b, p)], axis=-2),
+            jnp.stack([sub_mod(y1a, z2a, p), sub_mod(y1b, z2b, p)], axis=-2),
+        ], axis=-3)
+        s -= 2
     return x.reshape(lead + (n,))
 
 
