@@ -33,6 +33,7 @@ module is the TPU-native replacement.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -127,12 +128,19 @@ def build_plan(n: int, prime_list: Tuple[int, ...]) -> NttPlan:
     )
 
 
-# Radix-8 merging (3 butterfly levels per pass) is measured FASTER at
-# N<=4096 on TPU (fwd 0.33 -> 0.25 ms, config 6) but SLOWER at N=16384
-# (~1.2 -> 2.1 ms): the 8-slice fused passes exceed the vector-register/
-# VMEM working-set budget at large rows, so big rings keep radix-4.
-# Both orderings are exact — results are bit-identical either way.
-_RADIX8_MAX_N = 4096
+def _radix8() -> bool:
+    """Radix-8 merging: ON for TPU (measured faster at every ring size
+    in same-day on-chip comparisons — N=4096 fwd 0.33 -> 0.25 ms,
+    N=16384 fwd 3.5 -> 2.1 ms), OFF on CPU backends (XLA:CPU
+    vectorizes the 8-slice fused butterflies ~2.8x SLOWER than the
+    radix-4 pairs — clean-run config 6: fwd 137 vs 48 ms, spread 4%).
+    Override with FHE_NTT_RADIX8=0/1.  Both orderings are exact and
+    bit-identical (tests/test_ntt.py::test_radix8_radix4_bitexact)."""
+    env = os.environ.get("FHE_NTT_RADIX8")
+    if env is not None:
+        return env == "1"
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 def _limbs(plan: NttPlan, x) -> int:
@@ -160,7 +168,8 @@ def _cyclic_fwd(plan: NttPlan, x, l: int):
     p = plan.p[:l, :, None]
     log_n = plan.log_n
     s = 0
-    while s + 2 < log_n and n <= _RADIX8_MAX_N:
+    use_r8 = _radix8()
+    while s + 2 < log_n and use_r8:
         m = n >> (s + 3)                      # third stage's half-length
         b = 1 << s
         x = x.reshape(lead + (b, 2, 2, 2, m))
@@ -235,7 +244,7 @@ def _cyclic_inv(plan: NttPlan, x, l: int):
     n = plan.n
     p = plan.p[:l, :, None]
     s = plan.log_n - 1
-    use_r8 = n <= _RADIX8_MAX_N
+    use_r8 = _radix8()
     rem = plan.log_n % 3 if use_r8 else plan.log_n % 2
     if rem == 1:                              # radix-2 head
         m = n >> (s + 1)

@@ -92,3 +92,25 @@ def test_partial_limbs():
                   for p in primes[:2]])
     back = np.asarray(make_roundtrip(plan)(jnp.asarray(x)))
     assert (back == x).all()
+
+
+def test_radix8_radix4_bitexact(monkeypatch):
+    """The radix-8 (TPU) and radix-4 (CPU) merge orderings must produce
+    BIT-IDENTICAL transforms — the backend gate may never change
+    results (ops/ntt._radix8)."""
+    import importlib
+
+    from fhe_icp_tpu.ops import ntt as ntt_mod
+
+    primes = pr.ntt_primes(2, bits=31)
+    plan = ntt_mod.build_plan(512, primes)
+    x = jnp.asarray(RNG.integers(
+        0, np.asarray(primes)[:, None], size=(3, 2, 512)
+    ).astype(np.uint32))
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("FHE_NTT_RADIX8", mode)
+        outs[mode] = (np.asarray(ntt_mod.ntt_fwd(plan, x)),
+                      np.asarray(ntt_mod.ntt_inv(plan, x)))
+    assert (outs["0"][0] == outs["1"][0]).all()
+    assert (outs["0"][1] == outs["1"][1]).all()
