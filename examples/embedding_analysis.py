@@ -7,6 +7,10 @@ text, truncation, unicode, scaling) — merged into one runnable analysis.
 Run: python examples/embedding_analysis.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from fhe_icp_tpu.models.embedder import make_embedder

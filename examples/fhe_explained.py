@@ -7,6 +7,10 @@ every concept is demonstrated on live BGV ciphertexts.
 Run: python examples/fhe_explained.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from fhe_icp_tpu.ops.noise import noise_budget_bits

@@ -4,6 +4,10 @@ Reference parity: /root/reference/session4_quickstart.py.
 Run: FHE_MASTER_PASSWORD=demo python examples/quickstart.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import os
 import tempfile
 

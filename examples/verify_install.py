@@ -4,6 +4,10 @@ Reference parity: /root/reference/verify_install.py (43 lines).
 Run: python examples/verify_install.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import sys
 
 
